@@ -1,0 +1,130 @@
+"""Dense-padded event batches — the core data structure of the TPU framework.
+
+The reference (GraphNeT) batches irregular per-event graphs by concatenating
+node sets and carrying a ``batch`` index vector (PyG ``Batch``;
+``/root/reference/src/graphnet/data/dataloader.py:12-18``).  That layout forces
+sparse gather/scatter kernels.  On TPU we instead use a dense-padded layout
+
+    ``x: [B, L, D]`` node features, ``mask: [B, L]`` validity,
+
+chosen so that every hot op (kNN, EdgeConv, attention, pooling) is a batched
+dense op that XLA tiles straight onto the MXU.  Events are grouped into
+length *buckets* (power-of-two-ish L) so only a handful of shapes are ever
+compiled — the policy mirrors the reference's own ``LenMatchBatchSampler``
+(``/root/reference/src/graphnet/data/dataset/samplers.py:160``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class EventBatch:
+    """A batch of padded events.
+
+    Attributes:
+        x: ``[B, L, D]`` float node (pulse) features, zero-padded.
+        mask: ``[B, L]`` bool; True where the node is a real pulse.
+        n_pulses: ``[B]`` int32 number of valid pulses per event.
+        labels: dict of per-event truth arrays, each ``[B]`` or ``[B, d]``.
+        node_labels: dict of per-node truth arrays, each ``[B, L]``.
+        edges: optional precomputed neighbor indices ``[B, L, k]`` (static-edge
+            models); None when the backbone computes its own (DynEdge).
+        edge_mask: optional ``[B, L, k]`` bool mask for ``edges``.
+    """
+
+    x: jax.Array
+    mask: jax.Array
+    n_pulses: jax.Array
+    labels: Dict[str, jax.Array] = struct.field(default_factory=dict)
+    node_labels: Dict[str, jax.Array] = struct.field(default_factory=dict)
+    edges: Optional[jax.Array] = None
+    edge_mask: Optional[jax.Array] = None
+
+    @property
+    def batch_size(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def max_length(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def num_features(self) -> int:
+        return self.x.shape[2]
+
+
+DEFAULT_BUCKETS: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def bucket_for_length(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
+    """Smallest bucket length >= n (last bucket truncates longer events)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def pad_events(
+    events: List[np.ndarray],
+    length: Optional[int] = None,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad a list of ``[n_i, D]`` arrays to ``([B, L, D], [B, L], [B])``.
+
+    Events longer than the largest bucket are truncated (mirrors the
+    subsampling escape hatch of the reference's IceMixNodes,
+    ``graphs/nodes/nodes.py:404-430``).
+    """
+    assert events, "empty event list"
+    d = events[0].shape[1]
+    max_n = max(e.shape[0] for e in events)
+    L = length if length is not None else bucket_for_length(max_n, buckets)
+    B = len(events)
+    x = np.zeros((B, L, d), dtype=np.float32)
+    mask = np.zeros((B, L), dtype=bool)
+    n_pulses = np.zeros((B,), dtype=np.int32)
+    for i, e in enumerate(events):
+        n = min(e.shape[0], L)
+        x[i, :n] = e[:n]
+        mask[i, :n] = True
+        n_pulses[i] = n
+    return x, mask, n_pulses
+
+
+def make_batch(
+    events: List[np.ndarray],
+    labels: Optional[Dict[str, np.ndarray]] = None,
+    node_labels: Optional[List[Dict[str, np.ndarray]]] = None,
+    length: Optional[int] = None,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+) -> EventBatch:
+    """Build an :class:`EventBatch` from per-event numpy arrays."""
+    x, mask, n_pulses = pad_events(events, length=length, buckets=buckets)
+    label_dict: Dict[str, jnp.ndarray] = {}
+    if labels:
+        for k, v in labels.items():
+            label_dict[k] = jnp.asarray(np.asarray(v))
+    nl_dict: Dict[str, jnp.ndarray] = {}
+    if node_labels:
+        L = x.shape[1]
+        for key in node_labels[0]:
+            arr = np.zeros((len(events), L), dtype=np.float32)
+            for i, dct in enumerate(node_labels):
+                v = np.asarray(dct[key])
+                n = min(v.shape[0], L)
+                arr[i, :n] = v[:n]
+            nl_dict[key] = jnp.asarray(arr)
+    return EventBatch(
+        x=jnp.asarray(x),
+        mask=jnp.asarray(mask),
+        n_pulses=jnp.asarray(n_pulses),
+        labels=label_dict,
+        node_labels=nl_dict,
+    )

@@ -1,0 +1,439 @@
+"""Flax layers used by the GNN backbones.
+
+TPU-native counterparts of the reference's
+``src/graphnet/models/components/layers.py``.  All layers operate on the
+dense-padded ``[B, L, D]`` layout of :class:`graphnet_tpu.batch.EventBatch`.
+The EdgeConv family is expressed as neighbour-gather → fused MLP → masked
+reduction over the regular ``[B, L, k]`` neighbour axis (no sparse scatter) —
+the per-edge MLP is a single ``[B*L*k, 2D] @ [2D, H]`` matmul the MXU eats
+whole.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graphnet_tpu.ops import (
+    edge_reduce,
+    gather_neighbors,
+    knn_graph,
+)
+
+Activation = Callable[[jax.Array], jax.Array]
+
+ACTIVATIONS = {
+    "relu": nn.relu,
+    "gelu": nn.gelu,
+    "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
+    "silu": nn.silu,
+    "tanh": jnp.tanh,
+    "identity": lambda x: x,
+}
+
+
+def resolve_activation(act) -> Activation:
+    if callable(act):
+        return act
+    return ACTIVATIONS[act.lower()]
+
+
+class MLP(nn.Module):
+    """``[Linear, (LayerNorm), activation] * n`` — mirrors the torch
+    ``Sequential`` blocks built in the reference's DynEdge
+    (``gnn/dynedge.py:190-210``)."""
+
+    sizes: Sequence[int]
+    activation: str = "relu"
+    add_norm_layer: bool = False
+    activate_final: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        act = resolve_activation(self.activation)
+        for i, size in enumerate(self.sizes):
+            x = nn.Dense(size, dtype=self.dtype, name=f"dense_{i}")(x)
+            if self.add_norm_layer:
+                x = nn.LayerNorm(
+                    epsilon=1e-5, dtype=self.dtype, name=f"norm_{i}"
+                )(x)
+            if self.activate_final or i + 1 < len(self.sizes):
+                x = act(x)
+        return x
+
+
+def edge_conv_message_inputs(
+    x: jax.Array, idx: jax.Array, tito: bool = False
+) -> jax.Array:
+    """Build EdgeConv message inputs.
+
+    Standard EdgeConv (PyG semantics, reference ``layers.py:20``):
+        ``cat[x_i, x_j - x_i]``             → ``[B, L, k, 2D]``
+    TITO variant (reference ``layers.py:106-110``):
+        ``cat[x_i, x_j - x_i, x_j]``        → ``[B, L, k, 3D]``
+    """
+    x_j = gather_neighbors(x, idx)  # [B, L, k, D]
+    x_i = jnp.broadcast_to(x[:, :, None, :], x_j.shape)
+    if tito:
+        return jnp.concatenate([x_i, x_j - x_i, x_j], axis=-1)
+    return jnp.concatenate([x_i, x_j - x_i], axis=-1)
+
+
+class EdgeConv(nn.Module):
+    """EdgeConv: message MLP over ``cat[x_i, x_j - x_i]``, masked aggregation.
+
+    Functional equivalent of PyG ``EdgeConv`` (reference ``layers.py:20``,
+    message at torch_geometric's EdgeConv.message) on dense neighbour lists.
+    """
+
+    nn_sizes: Sequence[int]
+    aggr: str = "max"
+    activation: str = "relu"
+    add_norm_layer: bool = False
+    tito: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, idx: jax.Array, edge_mask: jax.Array
+    ) -> jax.Array:
+        msg_in = edge_conv_message_inputs(x, idx, tito=self.tito)
+        msgs = MLP(
+            self.nn_sizes,
+            activation=self.activation,
+            add_norm_layer=self.add_norm_layer,
+            name="nn",
+        )(msg_in)
+        return edge_reduce(msgs, edge_mask, self.aggr)
+
+
+class DynEdgeConv(nn.Module):
+    """EdgeConv followed by kNN recomputation on the new latents.
+
+    Mirror of reference ``DynEdgeConv`` (``layers.py:20-69``): the returned
+    ``(x, idx, edge_mask)`` carries the *recomputed* adjacency used by the
+    next layer.
+    """
+
+    nn_sizes: Sequence[int]
+    aggr: str = "add"
+    nb_neighbors: int = 8
+    features_subset: Tuple[int, ...] = (0, 1, 2)
+    activation: str = "relu"
+    add_norm_layer: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: jax.Array,
+        idx: jax.Array,
+        edge_mask: jax.Array,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        x = EdgeConv(
+            self.nn_sizes,
+            aggr=self.aggr,
+            activation=self.activation,
+            add_norm_layer=self.add_norm_layer,
+            name="conv",
+        )(x, idx, edge_mask)
+        coords = x[..., list(self.features_subset)]
+        new_idx, new_edge_mask = knn_graph(coords, mask, k=self.nb_neighbors)
+        return x, new_idx, new_edge_mask
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard masked MHA (replaces cuDNN ``nn.MultiheadAttention``).
+
+    Matches torch defaults: combined QKV projection, output projection, both
+    with bias; scaled dot-product attention with key-padding mask.
+    """
+
+    num_heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        key_padding_mask: Optional[jax.Array] = None,
+        attn_bias: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        B, L, D = x.shape
+        H = self.num_heads
+        assert D % H == 0, f"embed dim {D} not divisible by heads {H}"
+        hd = D // H
+        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.float32(hd))
+        if attn_bias is not None:
+            logits = logits + attn_bias
+        if key_padding_mask is not None:
+            # True = valid. Mask out padded keys with -inf before softmax.
+            neg = jnp.finfo(logits.dtype).min
+            logits = jnp.where(
+                key_padding_mask[:, None, None, :], logits, neg
+            )
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        return nn.Dense(D, dtype=self.dtype, name="out")(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm torch-style encoder layer (``norm_first=False``):
+    ``x = norm1(x + MHA(x)); x = norm2(x + FFN(x))`` with ReLU FFN.
+
+    Matches ``torch.nn.TransformerEncoderLayer`` defaults used by DynTrans
+    (reference ``layers.py:169-177``): dim_feedforward=2048, relu.
+    """
+
+    num_heads: int
+    dim_feedforward: int = 2048
+    activation: str = "relu"
+    norm_first: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        act = resolve_activation(self.activation)
+        D = x.shape[-1]
+        if self.norm_first:
+            h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+            x = x + MultiHeadAttention(self.num_heads, name="mha")(
+                h, key_padding_mask
+            )
+            h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+            h = nn.Dense(self.dim_feedforward, name="linear1")(h)
+            h = nn.Dense(D, name="linear2")(act(h))
+            return x + h
+        h = MultiHeadAttention(self.num_heads, name="mha")(
+            x, key_padding_mask
+        )
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + h)
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = nn.Dense(D, name="linear2")(act(h))
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+
+
+class DynTrans(nn.Module):
+    """TITO block: EdgeConvTito (+residual) → LayerNorm → 1-layer transformer.
+
+    Mirror of reference ``DynTrans`` (``layers.py:117-197``).  In the dense
+    layout the reference's ``to_dense_batch`` round-trip disappears — data is
+    already ``[B, L, D]``; the key-padding mask is the node mask.  Unlike
+    DynEdgeConv this does NOT recompute the kNN graph.
+    """
+
+    layer_sizes: Sequence[int] = (256, 256, 256)
+    aggr: str = "max"
+    n_head: int = 8
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: jax.Array,
+        idx: jax.Array,
+        edge_mask: jax.Array,
+    ) -> jax.Array:
+        sizes = list(self.layer_sizes)[1:]
+        x_out = EdgeConv(
+            sizes,
+            aggr=self.aggr,
+            activation="leaky_relu",
+            tito=True,
+            name="conv",
+        )(x, idx, edge_mask)
+        if x_out.shape[-1] == x.shape[-1]:
+            x = x + x_out
+        else:
+            x = x_out
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = TransformerEncoderLayer(self.n_head, name="transformer")(
+            x, key_padding_mask=mask
+        )
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (reference ``layers.py:200-230``)."""
+
+    drop_prob: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.deterministic or self.drop_prob == 0.0:
+            return x
+        keep = 1.0 - self.drop_prob
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    """Two-layer GELU MLP used by transformer blocks
+    (reference ``layers.py:232-273``)."""
+
+    hidden_features: Optional[int] = None
+    out_features: Optional[int] = None
+    activation: str = "gelu"
+    dropout: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        D = x.shape[-1]
+        hidden = self.hidden_features or D
+        out = self.out_features or D
+        act = resolve_activation(self.activation)
+        x = act(nn.Dense(hidden, name="fc1")(x))
+        x = nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
+        x = nn.Dense(out, name="fc2")(x)
+        x = nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
+        return x
+
+
+class AttentionRel(nn.Module):
+    """Attention with relative-position bias injected into the logits.
+
+    BEiTv2-style attention used by DeepIce (reference ``Attention_rel``,
+    ``layers.py:389-499``): separate q/k/v projections (q with optional bias),
+    additive ``rel_pos_bias`` of shape ``[B, H, L, L]`` (or broadcastable).
+    """
+
+    num_heads: int = 8
+    qkv_bias: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        q_in: jax.Array,
+        k_in: jax.Array,
+        v_in: jax.Array,
+        rel_pos_bias: Optional[jax.Array] = None,
+        key_padding_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        B, L, D = q_in.shape
+        H = self.num_heads
+        hd = D // H
+        scale = hd ** -0.5
+        q = nn.Dense(D, use_bias=self.qkv_bias, name="proj_q")(q_in)
+        k = nn.Dense(D, use_bias=False, name="proj_k")(k_in)
+        v = nn.Dense(D, use_bias=False, name="proj_v")(v_in)
+
+        def heads(t):
+            return t.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q) * scale, heads(k), heads(v)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        if rel_pos_bias is not None:
+            logits = logits + rel_pos_bias
+        if key_padding_mask is not None:
+            neg = jnp.finfo(logits.dtype).min
+            logits = jnp.where(
+                key_padding_mask[:, None, None, :], logits, neg
+            )
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        return nn.Dense(D, name="proj")(out)
+
+
+class BlockRel(nn.Module):
+    """Pre-norm transformer block with relative attention + optional
+    layer-scale γ (reference ``Block_rel``, ``layers.py:276-386``)."""
+
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    init_values: Optional[float] = None
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        rel_pos_bias: Optional[jax.Array] = None,
+        key_padding_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        D = x.shape[-1]
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        h = AttentionRel(self.num_heads, qkv_bias=True, name="attn")(
+            h, h, h, rel_pos_bias=rel_pos_bias,
+            key_padding_mask=key_padding_mask,
+        )
+        if self.init_values is not None:
+            gamma1 = self.param(
+                "gamma_1", nn.initializers.constant(self.init_values), (D,)
+            )
+            h = gamma1 * h
+        x = x + DropPath(self.drop_path, self.deterministic, name="dp1")(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = Mlp(
+            hidden_features=int(D * self.mlp_ratio),
+            deterministic=self.deterministic,
+            name="mlp",
+        )(h)
+        if self.init_values is not None:
+            gamma2 = self.param(
+                "gamma_2", nn.initializers.constant(self.init_values), (D,)
+            )
+            h = gamma2 * h
+        return x + DropPath(self.drop_path, self.deterministic, name="dp2")(h)
+
+
+class Block(nn.Module):
+    """Standard pre-norm MHA block with optional layer-scale
+    (reference ``Block``, ``layers.py:502-596``)."""
+
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    init_values: Optional[float] = None
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        key_padding_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        D = x.shape[-1]
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        h = MultiHeadAttention(self.num_heads, name="attn")(
+            h, key_padding_mask=key_padding_mask
+        )
+        if self.init_values is not None:
+            gamma1 = self.param(
+                "gamma_1", nn.initializers.constant(self.init_values), (D,)
+            )
+            h = gamma1 * h
+        x = x + DropPath(self.drop_path, self.deterministic, name="dp1")(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = Mlp(
+            hidden_features=int(D * self.mlp_ratio),
+            deterministic=self.deterministic,
+            name="mlp",
+        )(h)
+        if self.init_values is not None:
+            gamma2 = self.param(
+                "gamma_2", nn.initializers.constant(self.init_values), (D,)
+            )
+            h = gamma2 * h
+        return x + DropPath(self.drop_path, self.deterministic, name="dp2")(h)

@@ -1,0 +1,130 @@
+"""Batched k-nearest-neighbour graph construction on dense-padded events.
+
+Replaces ``torch_cluster.knn_graph`` (used by the reference at
+``src/graphnet/models/components/layers.py:63-67`` and
+``src/graphnet/models/graphs/edges/edges.py:74-78``).  On TPU the whole batch
+is one ``[B, L, L]`` squared-distance computation: ``|xi - xj|^2 =
+|xi|^2 + |xj|^2 - 2 xi.xj`` where the cross term is a batched matmul that
+lands on the MXU, followed by ``lax.top_k`` per row.
+
+Semantics matched to ``torch_cluster.knn_graph(loop=False)``:
+  * self-edges excluded;
+  * ties broken toward the lower index (``top_k`` guarantee);
+  * events with fewer than ``k+1`` valid nodes yield fewer valid neighbours —
+    reported through ``edge_mask`` so aggregations can ignore the padding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(1e30)
+
+
+def pairwise_sq_dists(coords: jax.Array, mask: jax.Array) -> jax.Array:
+    """``[B, L, D], [B, L] -> [B, L, L]`` squared distances; invalid -> +BIG.
+
+    The cross term is computed with a matmul in fp32 (coords are physical
+    positions in O(100 m) units after detector standardization, so fp32 is
+    exact enough for neighbour ranking).
+    """
+    # Center per event to reduce fp32 cancellation in the |a|^2+|b|^2-2ab
+    # expansion (neighbour ranking is translation invariant).
+    denom = jnp.maximum(jnp.sum(mask, axis=1), 1)[:, None]
+    center = (
+        jnp.sum(jnp.where(mask[..., None], coords, 0.0), axis=1) / denom
+    )
+    coords = coords - center[:, None, :]
+    sq = jnp.sum(coords * coords, axis=-1)  # [B, L]
+    cross = jnp.einsum(
+        "bld,bmd->blm", coords, coords, preferred_element_type=jnp.float32
+    )
+    d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * cross
+    d2 = jnp.maximum(d2, 0.0)
+    invalid = ~(mask[:, :, None] & mask[:, None, :])
+    return jnp.where(invalid, _BIG, d2)
+
+
+@partial(jax.jit, static_argnames=("k", "exclude_self"))
+def knn_graph(
+    coords: jax.Array,
+    mask: jax.Array,
+    k: int,
+    exclude_self: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched kNN on padded point sets.
+
+    Args:
+        coords: ``[B, L, D]`` positions (already sliced to the kNN feature
+            subset, e.g. xyz).
+        mask: ``[B, L]`` validity mask.
+        k: number of neighbours.
+
+    Returns:
+        ``(indices, edge_mask)``: ``[B, L, k]`` int32 neighbour indices (rows
+        for invalid nodes are arbitrary) and ``[B, L, k]`` bool mask marking
+        real edges (valid source, valid & distinct neighbour).
+    """
+    B, L, _ = coords.shape
+    d2 = pairwise_sq_dists(coords, mask)
+    if exclude_self:
+        eye = jnp.eye(L, dtype=bool)
+        d2 = jnp.where(eye[None, :, :], _BIG, d2)
+    # top_k over negated distances: smallest distances, ties -> lower index.
+    neg = -d2
+    _, idx = jax.lax.top_k(neg, k)  # [B, L, k]
+    # An edge is real iff its distance is < BIG (i.e. neighbor valid, not self).
+    chosen = jnp.take_along_axis(d2, idx, axis=-1)
+    edge_mask = (chosen < _BIG * 0.5) & mask[:, :, None]
+    return idx.astype(jnp.int32), edge_mask
+
+
+@partial(jax.jit, static_argnames=("k",))
+def radius_graph(
+    coords: jax.Array,
+    mask: jax.Array,
+    r: float,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Neighbours within radius ``r``, capped at ``k`` per node (replaces
+    ``torch_cluster.radius_graph``, reference ``graphs/edges/edges.py:111``)."""
+    idx, edge_mask = knn_graph(coords, mask, k=k, exclude_self=True)
+    d2 = pairwise_sq_dists(coords, mask)
+    chosen = jnp.take_along_axis(d2, idx, axis=-1)
+    return idx, edge_mask & (chosen <= r * r)
+
+
+def minkowski_knn_graph(
+    coords_xyzt: jax.Array,
+    mask: jax.Array,
+    k: int,
+    c: float = 0.299792458,  # m/ns
+    space_coords: Tuple[int, int, int] = (0, 1, 2),
+    time_coord: int = 3,
+) -> Tuple[jax.Array, jax.Array]:
+    """kNN under the Minkowski pseudo-metric ``|dx|^2 - (c*dt)^2``.
+
+    Replaces ``MinkowskiKNNEdges`` (reference
+    ``src/graphnet/models/graphs/edges/minkowski.py:10-63``), which loops over
+    events densely on CPU.  Here it is one batched computation.  Note the
+    pseudo-metric can be negative; the reference ranks by the signed value,
+    which we replicate (no clamping).
+    """
+    xyz = coords_xyzt[..., list(space_coords)]
+    t = coords_xyzt[..., time_coord] * c
+    sq = jnp.sum(xyz * xyz, axis=-1) - t * t  # [B, L] Minkowski "norm"
+    cross = jnp.einsum(
+        "bld,bmd->blm", xyz, xyz, preferred_element_type=jnp.float32
+    ) - t[:, :, None] * t[:, None, :]
+    d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * cross
+    L = coords_xyzt.shape[1]
+    invalid = ~(mask[:, :, None] & mask[:, None, :])
+    d2 = jnp.where(invalid | jnp.eye(L, dtype=bool)[None], _BIG, d2)
+    _, idx = jax.lax.top_k(-d2, k)
+    chosen = jnp.take_along_axis(d2, idx, axis=-1)
+    edge_mask = (chosen < _BIG * 0.5) & mask[:, :, None]
+    return idx.astype(jnp.int32), edge_mask

@@ -1,0 +1,64 @@
+"""StandardModel — backbone + task heads (mirror of reference
+``src/graphnet/models/standard_model.py``).
+
+The reference composes ``graph_definition + backbone + tasks`` inside a
+LightningModule.  Here graph construction is a host-side concern (the data
+pipeline emits :class:`~graphnet_tpu.batch.EventBatch`), and StandardModel is
+the pure, jittable device-side composition: backbone latents feeding every
+task head, with summed task losses.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graphnet_tpu.batch import EventBatch
+from graphnet_tpu.models.gnn.gnn import GNN
+from graphnet_tpu.models.task.task import Task
+
+Array = jax.Array
+
+
+class StandardModel(nn.Module):
+    """Backbone + one or more task heads.
+
+    ``__call__`` returns per-task ``(prediction, regularisation)`` pairs;
+    ``loss`` sums per-task losses (reference ``standard_model.py:71-109``).
+    """
+
+    backbone: GNN
+    tasks: Tuple[Task, ...]
+
+    @nn.compact
+    def __call__(
+        self, batch: EventBatch, inference: bool = False
+    ) -> List[Tuple[Array, Array]]:
+        latents = self.backbone(batch)
+        return [
+            task(latents, inference=inference)
+            for task in self.tasks
+        ]
+
+    def loss(
+        self,
+        outputs: List[Tuple[Array, Array]],
+        labels: Dict[str, Array],
+        weights: Optional[Array] = None,
+    ) -> Array:
+        losses = [
+            task.compute_loss(pred, reg, labels, weights=weights)
+            for task, (pred, reg) in zip(self.tasks, outputs)
+        ]
+        return jnp.sum(jnp.stack(losses))
+
+    @property
+    def target_labels(self) -> List[str]:
+        return [l for task in self.tasks for l in task.targets]
+
+    @property
+    def prediction_labels(self) -> List[str]:
+        return [l for task in self.tasks for l in task.predictions]

@@ -1,0 +1,180 @@
+"""Physics task heads — mirrors of the reference ``src/graphnet/models/task/task.py``.
+
+A task is a flax module holding the learned affine map from backbone latents
+to task space, a fixed output transform (``_forward``), optional
+target/inference transforms, and a loss function.  Unlike the torch version,
+``_forward`` returns ``(prediction, regularisation_loss)`` instead of
+mutating instance state (JAX purity), and inference-vs-training transform
+selection is an explicit ``inference`` argument rather than mutable state
+(reference toggles ``self._inference``, ``task.py:125-137``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from graphnet_tpu.training.loss_functions import LossFunction
+
+Array = jax.Array
+EPS = 1.1920929e-07  # float32 eps, matches torch `eps_like` on fp32
+
+
+def validate_transforms(
+    transform_prediction_and_target: Optional[Callable],
+    transform_target: Optional[Callable],
+    transform_inference: Optional[Callable],
+    transform_support: Optional[Tuple[float, float]],
+) -> None:
+    """Check that target/inference transforms are mutual inverses on a test
+    grid (reference ``task.py:144-222``)."""
+    assert not (
+        transform_prediction_and_target is not None
+        and transform_target is not None
+    ), (
+        "Specify at most one of `transform_prediction_and_target` and "
+        "`transform_target`"
+    )
+    if transform_target is not None and transform_inference is not None:
+        if transform_support is not None:
+            assert len(transform_support) == 2
+            x_test = np.linspace(
+                transform_support[0], transform_support[1], 10
+            )
+        else:
+            grid = np.logspace(-6, 6, 13)
+            x_test = np.concatenate([-grid[::-1], [0], grid])
+        x_test = jnp.asarray(x_test, jnp.float32)
+        try:
+            t_test = transform_inference(transform_target(x_test))
+            t_test = np.asarray(t_test)
+            valid = np.isfinite(t_test)
+            assert np.allclose(
+                t_test[valid], np.asarray(x_test)[valid], rtol=1e-4, atol=1e-4
+            ), (
+                "The provided target/inference transforms are not mutually "
+                "inverse."
+            )
+        except (IndexError, TypeError):
+            pass  # indexing-dependent transforms: skip validation
+
+
+class Task(nn.Module):
+    """Base learned task.
+
+    ``__call__(latents, inference) -> (prediction, regularisation_loss)``.
+    Subclasses define ``_forward`` and the class attributes
+    ``task_nb_inputs`` / ``default_target_labels`` /
+    ``default_prediction_labels``.
+    """
+
+    loss_function: Optional[LossFunction] = None
+    target_labels: Optional[Tuple[str, ...]] = None
+    prediction_labels: Optional[Tuple[str, ...]] = None
+    transform_prediction_and_target: Optional[Callable] = None
+    transform_target: Optional[Callable] = None
+    transform_inference: Optional[Callable] = None
+    transform_support: Optional[Tuple[float, float]] = None
+    loss_weight: Optional[str] = None
+
+    # subclass contract (plain class attributes — deliberately unannotated so
+    # flax does not turn them into dataclass fields, which would freeze the
+    # base-class defaults)
+    task_nb_inputs = 1
+    default_target_labels = ()
+    default_prediction_labels = ()
+
+    def __post_init__(self):
+        super().__post_init__()
+        validate_transforms(
+            self.transform_prediction_and_target,
+            self.transform_target,
+            self.transform_inference,
+            self.transform_support,
+        )
+
+    @property
+    def nb_inputs(self) -> int:
+        return self.task_nb_inputs
+
+    @property
+    def targets(self) -> Tuple[str, ...]:
+        t = self.target_labels or self.default_target_labels
+        return (t,) if isinstance(t, str) else tuple(t)
+
+    @property
+    def predictions(self) -> Tuple[str, ...]:
+        p = self.prediction_labels or self.default_prediction_labels
+        return (p,) if isinstance(p, str) else tuple(p)
+
+    def _transform_prediction(self, pred: Array, inference: bool) -> Array:
+        if self.transform_prediction_and_target is not None and not inference:
+            return self.transform_prediction_and_target(pred)
+        if self.transform_inference is not None and inference:
+            return self.transform_inference(pred)
+        return pred
+
+    def _transform_target_fn(self, target: Array) -> Array:
+        if self.transform_prediction_and_target is not None:
+            return self.transform_prediction_and_target(target)
+        if self.transform_target is not None:
+            return self.transform_target(target)
+        return target
+
+    def _forward(self, x: Array) -> Tuple[Array, Array]:
+        """Map affine outputs to task space; returns (pred, reg_loss)."""
+        return x, jnp.float32(0.0)
+
+    @nn.compact
+    def __call__(
+        self, latents: Array, inference: bool = False
+    ) -> Tuple[Array, Array]:
+        x = nn.Dense(self.nb_inputs, name="affine")(latents)
+        pred, reg = self._forward(x)
+        return self._transform_prediction(pred, inference), reg
+
+    def compute_loss(
+        self,
+        pred: Array,
+        reg: Array,
+        labels: Dict[str, Array],
+        weights: Optional[Array] = None,
+    ) -> Array:
+        """Stack target label columns, transform, evaluate loss
+        (reference ``task.py:318-337``)."""
+        cols = []
+        for label in self.targets:
+            v = labels[label]
+            cols.append(v if v.ndim > 1 else v[:, None])
+        target = jnp.concatenate(cols, axis=1)
+        target = self._transform_target_fn(target)
+        if self.loss_weight is not None:
+            weights = labels[self.loss_weight]
+        assert self.loss_function is not None, "Task has no loss function"
+        return self.loss_function(pred, target, weights=weights) + reg
+
+
+class StandardLearnedTask(Task):
+    """Affine head + fixed transform; elementwise supervised loss
+    (reference ``task.py:287-337``)."""
+
+
+class IdentityTask(StandardLearnedTask):
+    """Head of configurable width returning affine outputs directly
+    (reference ``task.py:340-385``)."""
+
+    nb_outputs: int = 1
+
+    @property
+    def nb_inputs(self) -> int:
+        return self.nb_outputs
+
+    @property
+    def predictions(self) -> Tuple[str, ...]:
+        if self.prediction_labels:
+            return tuple(self.prediction_labels)
+        return tuple(f"target_{i}_pred" for i in range(len(self.targets)))

@@ -1,0 +1,219 @@
+"""DataLoader: events → bucketed, padded EventBatches.
+
+Replaces the reference's PyG collate (``data/dataloader.py:12-86``: drop
+events with <2 pulses, concatenate into a ``Batch``) with pad-to-bucket
+collation into static-shape :class:`~graphnet_tpu.batch.EventBatch`es, and
+folds in the reference's own length-bucketing policy
+(``LenMatchBatchSampler``, ``data/dataset/samplers.py:160``) so batches have
+near-uniform length and the padded-shape set stays small (bounded compile
+count under jit).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from graphnet_tpu.batch import DEFAULT_BUCKETS, EventBatch, bucket_for_length
+from graphnet_tpu.models.graphs.graph_definition import Event
+
+
+def collate_events(
+    events: List[Event],
+    length: Optional[int] = None,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+    min_pulses: int = 2,
+) -> Optional[EventBatch]:
+    """Pad a list of Events into one EventBatch (numpy-backed).
+
+    Events with fewer than ``min_pulses`` pulses are dropped (reference
+    ``collate_fn``, ``dataloader.py:12-18``). Returns None if all events are
+    dropped.
+    """
+    import jax.numpy as jnp
+
+    events = [e for e in events if e.n_pulses >= min_pulses]
+    if not events:
+        return None
+    d = events[0].x.shape[1]
+    max_n = max(e.n_pulses for e in events)
+    L = length if length is not None else bucket_for_length(max_n, buckets)
+    B = len(events)
+    x = np.zeros((B, L, d), dtype=np.float32)
+    mask = np.zeros((B, L), dtype=bool)
+    n_pulses = np.zeros((B,), dtype=np.int32)
+    for i, e in enumerate(events):
+        n = min(e.n_pulses, L)
+        x[i, :n] = e.x[:n]
+        mask[i, :n] = True
+        n_pulses[i] = n
+
+    # labels common to every event, numeric only
+    keys = set(events[0].labels)
+    for e in events[1:]:
+        keys &= set(e.labels)
+    labels: Dict[str, np.ndarray] = {}
+    for k in sorted(keys):
+        vals = [np.asarray(e.labels[k]) for e in events]
+        if vals[0].dtype.kind not in "bifu":
+            continue
+        stacked = np.stack(vals)  # scalars -> [B]; vectors -> [B, d]
+        labels[k] = stacked.astype(
+            np.float32 if stacked.dtype.kind == "f" else stacked.dtype
+        )
+
+    node_labels: Dict[str, np.ndarray] = {}
+    nl_keys = set(events[0].node_labels)
+    for e in events[1:]:
+        nl_keys &= set(e.node_labels)
+    for k in sorted(nl_keys):
+        arr = np.zeros((B, L), dtype=np.float32)
+        for i, e in enumerate(events):
+            v = np.asarray(e.node_labels[k]).reshape(-1)
+            n = min(len(v), L)
+            arr[i, :n] = v[:n]
+        node_labels[k] = arr
+
+    return EventBatch(
+        x=jnp.asarray(x),
+        mask=jnp.asarray(mask),
+        n_pulses=jnp.asarray(n_pulses),
+        labels={k: jnp.asarray(v) for k, v in labels.items()},
+        node_labels={k: jnp.asarray(v) for k, v in node_labels.items()},
+    )
+
+
+class LenMatchBatchSampler:
+    """Group indices into batches of near-uniform event length.
+
+    Port of the reference's bucketing policy
+    (``data/dataset/samplers.py:160-293``): events are binned by
+    ``n_pulses // bucket_width`` and a batch is emitted whenever a bin
+    reaches ``batch_size``.
+    """
+
+    def __init__(
+        self,
+        lengths: Sequence[int],
+        batch_size: int,
+        bucket_width: int = 16,
+        shuffle: bool = True,
+        seed: Optional[int] = None,
+        drop_last: bool = False,
+    ):
+        self._lengths = np.asarray(lengths)
+        self._batch_size = batch_size
+        self._bucket_width = bucket_width
+        self._shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        self._drop_last = drop_last
+
+    def __iter__(self) -> Iterator[List[int]]:
+        order = np.arange(len(self._lengths))
+        if self._shuffle:
+            order = self._rng.permutation(order)
+        bins: Dict[int, List[int]] = {}
+        for idx in order:
+            b = int(self._lengths[idx]) // self._bucket_width
+            bins.setdefault(b, []).append(int(idx))
+            if len(bins[b]) == self._batch_size:
+                yield bins.pop(b)
+        leftovers = [i for bucket in bins.values() for i in bucket]
+        for start in range(0, len(leftovers), self._batch_size):
+            chunk = leftovers[start : start + self._batch_size]
+            if self._drop_last and len(chunk) < self._batch_size:
+                continue
+            yield chunk
+
+    def __len__(self) -> int:
+        n = len(self._lengths)
+        return (
+            n // self._batch_size
+            if self._drop_last
+            else math.ceil(n / self._batch_size)
+        )
+
+
+class DataLoader:
+    """Iterate a Dataset as padded EventBatches.
+
+    Host-side: queries + graph building run in Python (optionally in torch
+    DataLoader workers via ``num_workers``); padding happens per batch; the
+    returned batches are jnp arrays ready for ``device_put``.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 128,
+        shuffle: bool = False,
+        seed: Optional[int] = None,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        min_pulses: int = 2,
+        length_matching: bool = True,
+        bucket_width: int = 16,
+        drop_last: bool = False,
+        num_workers: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.buckets = tuple(buckets)
+        self.min_pulses = min_pulses
+        self.length_matching = length_matching
+        self.bucket_width = bucket_width
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self._lengths: Optional[np.ndarray] = None
+
+    def _event_lengths(self) -> np.ndarray:
+        if self._lengths is None:
+            if hasattr(self.dataset, "event_lengths"):
+                self._lengths = np.asarray(self.dataset.event_lengths())
+            else:
+                self._lengths = np.asarray(
+                    [self.dataset[i].n_pulses for i in range(len(self.dataset))]
+                )
+        return self._lengths
+
+    def _batches(self) -> Iterator[List[int]]:
+        if self.length_matching:
+            yield from LenMatchBatchSampler(
+                self._event_lengths(),
+                self.batch_size,
+                bucket_width=self.bucket_width,
+                shuffle=self.shuffle,
+                seed=self.seed,
+                drop_last=self.drop_last,
+            )
+        else:
+            order = np.arange(len(self.dataset))
+            if self.shuffle:
+                order = np.random.default_rng(self.seed).permutation(order)
+            for s in range(0, len(order), self.batch_size):
+                chunk = order[s : s + self.batch_size].tolist()
+                if self.drop_last and len(chunk) < self.batch_size:
+                    continue
+                yield chunk
+
+    def __iter__(self) -> Iterator[EventBatch]:
+        for idxs in self._batches():
+            events = [self.dataset[i] for i in idxs]
+            batch = collate_events(
+                events,
+                buckets=self.buckets,
+                min_pulses=self.min_pulses,
+            )
+            if batch is not None:
+                yield batch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (
+            n // self.batch_size
+            if self.drop_last
+            else math.ceil(n / self.batch_size)
+        )

@@ -1,0 +1,66 @@
+"""Runtime truth labels (mirror of reference
+``src/graphnet/training/labels.py``), computed host-side on Event records."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Label:
+    """Base label: callable on an Event, stored under ``key``
+    (reference ``labels.py:9-31``)."""
+
+    def __init__(self, key: str):
+        self._key = key
+
+    @property
+    def key(self) -> str:
+        return self._key
+
+    def __call__(self, event) -> np.ndarray:
+        raise NotImplementedError
+
+
+class Direction(Label):
+    """Unit 3-vector from azimuth/zenith (reference ``labels.py:34-70``)."""
+
+    def __init__(
+        self,
+        key: str = "direction",
+        azimuth_key: str = "azimuth",
+        zenith_key: str = "zenith",
+    ):
+        super().__init__(key=key)
+        self._azimuth_key = azimuth_key
+        self._zenith_key = zenith_key
+
+    def __call__(self, event) -> np.ndarray:
+        az = np.asarray(event.labels[self._azimuth_key], np.float64).reshape(
+            -1
+        )
+        ze = np.asarray(event.labels[self._zenith_key], np.float64).reshape(
+            -1
+        )
+        x = np.cos(az) * np.sin(ze)
+        y = np.sin(az) * np.sin(ze)
+        z = np.cos(ze)
+        return np.stack([x, y, z], axis=-1).astype(np.float32).squeeze(0)
+
+
+class Track(Label):
+    """1 iff NuMu CC (reference ``labels.py:73-107``)."""
+
+    def __init__(
+        self,
+        key: str = "track",
+        pid_key: str = "pid",
+        interaction_key: str = "interaction_type",
+    ):
+        super().__init__(key=key)
+        self._pid_key = pid_key
+        self._int_key = interaction_key
+
+    def __call__(self, event) -> np.ndarray:
+        is_numu = np.abs(np.asarray(event.labels[self._pid_key])) == 14
+        is_cc = np.asarray(event.labels[self._int_key]) == 1
+        return np.asarray(is_numu & is_cc, np.int32)

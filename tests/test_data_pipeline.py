@@ -1,0 +1,151 @@
+"""End-to-end data pipeline tests on the bundled Prometheus SQLite DB
+(50 events), mirroring the reference's integration-test strategy of using
+real miniature data (SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+from graphnet_tpu.data.constants import FEATURES, TRUTH
+from graphnet_tpu.data.dataloader import DataLoader, collate_events
+from graphnet_tpu.data.dataset import EnsembleDataset
+from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
+from graphnet_tpu.models.detector.prometheus import Prometheus
+from graphnet_tpu.models.graphs import KNNGraph
+from graphnet_tpu.models.graphs.nodes import PercentileClusters
+from graphnet_tpu.training.labels import Direction, Track
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(EXAMPLE_SQLITE_DATA),
+    reason="example data not present",
+)
+
+
+def make_dataset(**kwargs):
+    graph_definition = KNNGraph(detector=Prometheus())
+    return SQLiteDataset(
+        path=EXAMPLE_SQLITE_DATA,
+        graph_definition=graph_definition,
+        pulsemaps="total",
+        features=FEATURES.PROMETHEUS,
+        truth=TRUTH.PROMETHEUS,
+        truth_table="mc_truth",
+        **kwargs,
+    )
+
+
+class TestSQLiteDataset:
+    def test_len_and_getitem(self):
+        ds = make_dataset()
+        assert len(ds) == 50
+        ev = ds[0]
+        assert ev.x.ndim == 2 and ev.x.shape[1] == 4
+        assert ev.x.dtype == np.float32
+        assert "injection_energy" in ev.labels
+        assert "injection_zenith" in ev.labels
+        assert ev.labels["n_pulses"] == ev.x.shape[0]
+
+    def test_standardization_applied(self):
+        ds = make_dataset()
+        ev = ds[0]
+        # Prometheus/ORCA150SuperDense scalings put coords at O(1)
+        assert np.abs(ev.x[:, :3]).max() < 20.0
+        assert np.abs(ev.x[:, 3]).max() < 10.0
+
+    def test_selection(self):
+        ds_all = make_dataset()
+        sel = ds_all._indices[:10]
+        ds = make_dataset(selection=sel)
+        assert len(ds) == 10
+        np.testing.assert_array_equal(ds[0].x, ds_all[0].x)
+
+    def test_event_lengths_match(self):
+        ds = make_dataset()
+        lengths = ds.event_lengths()
+        assert len(lengths) == 50
+        for i in [0, 7, 23]:
+            assert lengths[i] == ds[i].n_pulses
+
+    def test_custom_labels(self):
+        ds = make_dataset(
+            labels={
+                "direction": Direction(
+                    azimuth_key="injection_azimuth",
+                    zenith_key="injection_zenith",
+                )
+            }
+        )
+        ev = ds[0]
+        d = np.asarray(ev.labels["direction"])
+        assert d.shape == (3,)
+        np.testing.assert_allclose(np.linalg.norm(d), 1.0, rtol=1e-5)
+
+    def test_ensemble(self):
+        ds1, ds2 = make_dataset(), make_dataset()
+        ens = EnsembleDataset([ds1, ds2])
+        assert len(ens) == 100
+        np.testing.assert_array_equal(ens[50].x, ds2[0].x)
+
+
+class TestDataLoader:
+    def test_batches(self):
+        ds = make_dataset()
+        dl = DataLoader(ds, batch_size=16, shuffle=True, seed=0)
+        batches = list(dl)
+        total = sum(b.batch_size for b in batches)
+        assert total <= 50  # some events may be dropped (<2 pulses)
+        assert total >= 40
+        for b in batches:
+            assert b.x.shape[1] in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+            assert b.x.shape[0] <= 16
+            # mask consistent with n_pulses
+            np.testing.assert_array_equal(
+                np.asarray(b.mask).sum(axis=1), np.asarray(b.n_pulses)
+            )
+
+    def test_min_pulse_drop(self):
+        ds = make_dataset()
+        dl = DataLoader(ds, batch_size=50, min_pulses=2, shuffle=False)
+        n = sum(b.batch_size for b in dl)
+        lengths = np.asarray(ds.event_lengths())
+        assert n == int((lengths >= 2).sum())
+
+    def test_labels_batched(self):
+        ds = make_dataset(
+            labels={
+                "direction": Direction(
+                    azimuth_key="injection_azimuth",
+                    zenith_key="injection_zenith",
+                )
+            }
+        )
+        dl = DataLoader(ds, batch_size=8, shuffle=False)
+        b = next(iter(dl))
+        assert b.labels["direction"].shape == (b.batch_size, 3)
+        assert b.labels["injection_energy"].shape == (b.batch_size,)
+
+
+class TestPercentileClusters:
+    def test_percentile_nodes(self):
+        graph_definition = KNNGraph(
+            detector=Prometheus(),
+            node_definition=PercentileClusters(
+                cluster_on=["sensor_pos_x", "sensor_pos_y", "sensor_pos_z"],
+                percentiles=[10, 50, 90],
+            ),
+        )
+        ds = SQLiteDataset(
+            path=EXAMPLE_SQLITE_DATA,
+            graph_definition=graph_definition,
+            pulsemaps="total",
+            features=FEATURES.PROMETHEUS,
+            truth=TRUTH.PROMETHEUS,
+            truth_table="mc_truth",
+        )
+        ev = ds[1]
+        # columns: xyz + 3 percentiles of t + counts
+        assert ev.x.shape[1] == 3 + 3 + 1
+        # unique cluster keys
+        assert len(np.unique(ev.x[:, :3], axis=0)) == ev.x.shape[0]

@@ -1,0 +1,354 @@
+"""Trainer — jitted training loop replacing the reference's Lightning glue
+(``src/graphnet/models/easy_model.py:23-493``).
+
+One jit-compiled train step per padded batch shape (shapes are bounded by
+the dataloader's bucket set); optax optimiser with the canonical
+piecewise-linear schedule; early stopping with best-checkpoint reload
+(reference semantics, ``easy_model.py:177-184``); orbax checkpointing;
+``predict``/``predict_as_dataframe`` parity (``easy_model.py:289-433``).
+
+Multi-chip data parallelism: pass ``mesh`` (a 1D ``jax.sharding.Mesh`` over
+a "data" axis) — batches are sharded over the batch dimension with
+``NamedSharding``, parameters are replicated, and XLA inserts the gradient
+all-reduce over ICI (SURVEY.md §2.6 row "Data parallelism").
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core as flax_core
+
+from graphnet_tpu.batch import EventBatch
+from graphnet_tpu.models.standard_model import StandardModel
+from graphnet_tpu.training.callbacks import (
+    EarlyStopping,
+    piecewise_linear_schedule,
+)
+from graphnet_tpu.utils.logging import Logger
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+class Trainer(Logger):
+    """Fit / validate / predict a StandardModel."""
+
+    def __init__(
+        self,
+        model: StandardModel,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        learning_rate: float = 1e-3,
+        schedule: Optional[optax.Schedule] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        data_axis: str = "data",
+        checkpoint_dir: Optional[str] = None,
+        seed: int = 42,
+    ) -> None:
+        super().__init__()
+        self.model = model
+        self._lr = learning_rate
+        self._schedule = schedule
+        if optimizer is None:
+            # reference default: Adam(lr=1e-3, eps=1e-3)
+            # (`examples/04_training/01_train_dynedge.py:128-141`)
+            optimizer = optax.adam(
+                learning_rate=schedule if schedule is not None else (
+                    learning_rate
+                ),
+                eps=1e-3,
+            )
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.checkpoint_dir = checkpoint_dir
+        self.seed = seed
+        self.state: Optional[TrainState] = None
+        self._train_step_fn = None
+        self._eval_step_fn = None
+        self._predict_fn = None
+
+    # ------------------------------------------------------------------
+    def _shard_batch(self, batch: EventBatch) -> EventBatch:
+        if self.mesh is None:
+            return batch
+        sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(self.data_axis)
+        )
+
+        def put(x):
+            if hasattr(x, "ndim") and x.ndim >= 1:
+                return jax.device_put(x, sharding)
+            return x
+
+        return jax.tree_util.tree_map(put, batch)
+
+    def _replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec()
+        )
+        return jax.device_put(tree, sharding)
+
+    # ------------------------------------------------------------------
+    def init(self, example_batch: EventBatch) -> TrainState:
+        params = self.model.init(
+            jax.random.PRNGKey(self.seed), example_batch
+        )
+        opt_state = self.optimizer.init(params)
+        params = self._replicate(params)
+        opt_state = self._replicate(opt_state)
+        self.state = TrainState(params=params, opt_state=opt_state)
+        return self.state
+
+    def _make_steps(self) -> None:
+        model, optimizer = self.model, self.optimizer
+
+        def loss_fn(params, batch: EventBatch):
+            outputs = model.apply(params, batch)
+            return model.loss(outputs, batch.labels)
+
+        @jax.jit
+        def train_step(params, opt_state, batch: EventBatch):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            updates, opt_state = optimizer.update(
+                grads, opt_state, params
+            )
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        @jax.jit
+        def eval_step(params, batch: EventBatch):
+            return loss_fn(params, batch)
+
+        @jax.jit
+        def predict_step(params, batch: EventBatch):
+            outputs = model.apply(params, batch, inference=True)
+            return [pred for pred, _reg in outputs]
+
+        self._train_step_fn = train_step
+        self._eval_step_fn = eval_step
+        self._predict_fn = predict_step
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_loader,
+        val_loader=None,
+        *,
+        max_epochs: int = 10,
+        early_stopping_patience: int = 5,
+        use_default_schedule: bool = True,
+        log_every_n_steps: int = 25,
+        ckpt_best: bool = True,
+    ) -> Dict[str, List[float]]:
+        """Train; returns history dict. Mirrors `EasySyntax.fit` defaults
+        (`easy_model.py:114-184`): early stopping on val_loss with best-
+        weight restore at the end."""
+        if use_default_schedule and self._schedule is None:
+            # canonical DynEdge schedule
+            steps_per_epoch = max(len(train_loader), 1)
+            self._schedule = piecewise_linear_schedule(
+                self._lr,
+                [0, steps_per_epoch // 2, steps_per_epoch * max_epochs],
+                [1e-2, 1.0, 1e-2],
+            )
+            self.optimizer = optax.adam(
+                learning_rate=self._schedule, eps=1e-3
+            )
+
+        self._make_steps()
+        history: Dict[str, List[float]] = {
+            "train_loss": [],
+            "val_loss": [],
+        }
+        stopper = EarlyStopping(patience=early_stopping_patience)
+        best_params = None
+
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            losses = []
+            for i, batch in enumerate(train_loader):
+                batch = self._shard_batch(batch)
+                if self.state is None:
+                    self.init(batch)
+                    self._log_param_count()
+                assert self.state is not None
+                params, opt_state, loss = self._train_step_fn(
+                    self.state.params, self.state.opt_state, batch
+                )
+                self.state = TrainState(
+                    params=params,
+                    opt_state=opt_state,
+                    step=self.state.step + 1,
+                )
+                losses.append(loss)
+                if (i + 1) % log_every_n_steps == 0:
+                    self.info(
+                        f"epoch {epoch} step {i+1}: "
+                        f"train_loss={float(loss):.4f}"
+                    )
+            train_loss = float(np.mean([float(l) for l in losses]))
+            history["train_loss"].append(train_loss)
+
+            msg = (
+                f"epoch {epoch}: train_loss={train_loss:.4f} "
+                f"({time.time()-t0:.1f}s)"
+            )
+            if val_loader is not None:
+                val_losses = []
+                counts = []
+                for batch in val_loader:
+                    batch = self._shard_batch(batch)
+                    val_losses.append(
+                        float(
+                            self._eval_step_fn(self.state.params, batch)
+                        )
+                    )
+                    counts.append(batch.batch_size)
+                val_loss = float(
+                    np.average(val_losses, weights=counts)
+                )
+                history["val_loss"].append(val_loss)
+                msg += f" val_loss={val_loss:.4f}"
+                improved = stopper.update(val_loss, epoch)
+                if improved:
+                    best_params = self.state.params
+                    if ckpt_best and self.checkpoint_dir:
+                        self.save_checkpoint(
+                            os.path.join(
+                                self.checkpoint_dir, "best"
+                            )
+                        )
+                if stopper.should_stop:
+                    self.info(
+                        f"early stopping at epoch {epoch} "
+                        f"(best epoch {stopper.best_epoch})"
+                    )
+                    self.info(msg)
+                    break
+            self.info(msg)
+
+        # restore best weights (reference `easy_model.py:177-184`)
+        if best_params is not None:
+            self.state = TrainState(
+                params=best_params,
+                opt_state=self.state.opt_state,
+                step=self.state.step,
+            )
+        return history
+
+    def _log_param_count(self) -> None:
+        if self.state is None:
+            return
+        n = sum(
+            np.prod(l.shape)
+            for l in jax.tree_util.tree_leaves(self.state.params)
+        )
+        self.info(f"model has {int(n):,} parameters")
+
+    # ------------------------------------------------------------------
+    def predict(self, loader) -> List[np.ndarray]:
+        """Per-task predictions, concatenated over batches
+        (reference ``easy_model.py:289-318``)."""
+        if self._predict_fn is None:
+            self._make_steps()
+        per_task: Optional[List[List[np.ndarray]]] = None
+        for batch in loader:
+            batch = self._shard_batch(batch)
+            if self.state is None:
+                self.init(batch)
+            outs = self._predict_fn(self.state.params, batch)
+            if per_task is None:
+                per_task = [[] for _ in outs]
+            for i, o in enumerate(outs):
+                per_task[i].append(np.asarray(o))
+        assert per_task is not None, "empty loader"
+        return [np.concatenate(chunks, axis=0) for chunks in per_task]
+
+    def predict_as_dataframe(
+        self,
+        loader,
+        additional_attributes: Optional[List[str]] = None,
+    ):
+        """Predictions + requested truth attributes as a DataFrame
+        (reference ``easy_model.py:321-433``)."""
+        import pandas as pd
+
+        additional_attributes = additional_attributes or []
+        preds = self.predict(loader)
+        data = np.concatenate(preds, axis=1)
+        columns = self.model.prediction_labels
+        assert data.shape[1] == len(columns), (
+            f"prediction width {data.shape[1]} != labels {columns}"
+        )
+        attrs: Dict[str, List[np.ndarray]] = {
+            a: [] for a in additional_attributes
+        }
+        for batch in loader:
+            for a in additional_attributes:
+                attrs[a].append(np.asarray(batch.labels[a]))
+        df = pd.DataFrame(data, columns=columns)
+        for a in additional_attributes:
+            df[a] = np.concatenate(attrs[a], axis=0)
+        return df
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        assert self.state is not None
+        path = os.path.abspath(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path, jax.device_get(self.state.params), force=True
+        )
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str, example_batch: EventBatch) -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        target = self.model.init(
+            jax.random.PRNGKey(self.seed), example_batch
+        )
+        ckptr = ocp.StandardCheckpointer()
+        params = ckptr.restore(path, target=jax.device_get(target))
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(
+            params=self._replicate(params),
+            opt_state=self._replicate(opt_state),
+        )
+
+    def save_state_dict(self, path: str) -> None:
+        """Single-file params snapshot (analogue of reference
+        ``Model.save_state_dict``, ``model.py:49-60``)."""
+        import pickle
+
+        assert self.state is not None
+        with open(path, "wb") as f:
+            pickle.dump(jax.device_get(self.state.params), f)
+
+    def load_state_dict(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            params = pickle.load(f)
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(
+            params=self._replicate(params),
+            opt_state=self._replicate(opt_state),
+        )

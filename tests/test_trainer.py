@@ -1,0 +1,126 @@
+"""End-to-end training slice: DynEdge energy regression on the bundled
+Prometheus SQLite DB — the minimum-slice target of SURVEY.md §7 step 4 —
+plus checkpoint round-trips and predict_as_dataframe."""
+
+import os
+
+import numpy as np
+import pytest
+
+from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+from graphnet_tpu.data.constants import FEATURES, TRUTH
+from graphnet_tpu.data.dataloader import DataLoader
+from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
+from graphnet_tpu.models.detector.prometheus import Prometheus
+from graphnet_tpu.models.gnn.dynedge import DynEdge
+from graphnet_tpu.models.graphs import KNNGraph
+from graphnet_tpu.models.standard_model import StandardModel
+from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
+from graphnet_tpu.training.callbacks import piecewise_linear_schedule
+from graphnet_tpu.training.loss_functions import LogCoshLoss
+from graphnet_tpu.training.trainer import Trainer
+
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(EXAMPLE_SQLITE_DATA),
+    reason="example data not present",
+)
+
+
+def build(selection=None):
+    graph_definition = KNNGraph(detector=Prometheus())
+    ds = SQLiteDataset(
+        path=EXAMPLE_SQLITE_DATA,
+        graph_definition=graph_definition,
+        pulsemaps="total",
+        features=FEATURES.PROMETHEUS,
+        truth=TRUTH.PROMETHEUS,
+        truth_table="mc_truth",
+        selection=selection,
+    )
+    model = StandardModel(
+        backbone=DynEdge(
+            nb_inputs=4, global_pooling_schemes=("min", "max", "mean", "sum")
+        ),
+        tasks=(
+            EnergyReconstruction(
+                loss_function=LogCoshLoss(),
+                target_labels=("total_energy",),
+                prediction_labels=("energy_pred",),
+                transform_prediction_and_target=lambda x: jnp.log10(x),
+            ),
+        ),
+    )
+    return ds, model
+
+
+class TestSchedule:
+    def test_piecewise_linear(self):
+        s = piecewise_linear_schedule(1e-3, [0, 50, 1000], [1e-2, 1, 1e-2])
+        assert float(s(0)) == pytest.approx(1e-5)
+        assert float(s(50)) == pytest.approx(1e-3)
+        assert float(s(25)) == pytest.approx(1e-5 + (1e-3 - 1e-5) / 2)
+        assert float(s(1000)) == pytest.approx(1e-5)
+        assert float(s(5000)) == pytest.approx(1e-5)  # constant beyond
+
+
+class TestTrainer:
+    def test_fit_reduces_loss_and_predicts(self, tmp_path):
+        ds, model = build()
+        train_loader = DataLoader(ds, batch_size=16, shuffle=True, seed=1)
+        val_loader = DataLoader(ds, batch_size=16, shuffle=False)
+        trainer = Trainer(
+            model, learning_rate=1e-4, checkpoint_dir=str(tmp_path)
+        )
+        history = trainer.fit(
+            train_loader,
+            val_loader,
+            max_epochs=4,
+            early_stopping_patience=10,
+            use_default_schedule=False,
+        )
+        assert len(history["train_loss"]) == 4
+        assert np.isfinite(history["train_loss"]).all()
+        # training should reduce loss on this tiny dataset
+        assert min(history["train_loss"][1:]) < history["train_loss"][0]
+
+        df = trainer.predict_as_dataframe(
+            val_loader, additional_attributes=["total_energy"]
+        )
+        assert "energy_pred" in df.columns
+        assert "total_energy" in df.columns
+        assert len(df) == sum(b.batch_size for b in val_loader)
+        # inference-mode prediction (no transform_inference given, so the
+        # raw softplus output) is positive
+        assert (df["energy_pred"] > 0).all()
+
+    def test_state_dict_roundtrip(self, tmp_path):
+        ds, model = build(selection=None)
+        loader = DataLoader(ds, batch_size=8, shuffle=False)
+        trainer = Trainer(model)
+        batch = next(iter(loader))
+        trainer.init(batch)
+        p = str(tmp_path / "weights.pkl")
+        trainer.save_state_dict(p)
+        pred1 = trainer.predict(loader)[0]
+
+        trainer2 = Trainer(model)
+        trainer2.load_state_dict(p)
+        pred2 = trainer2.predict(loader)[0]
+        np.testing.assert_allclose(pred1, pred2, rtol=1e-6)
+
+    def test_orbax_checkpoint_roundtrip(self, tmp_path):
+        ds, model = build()
+        loader = DataLoader(ds, batch_size=8, shuffle=False)
+        trainer = Trainer(model)
+        batch = next(iter(loader))
+        trainer.init(batch)
+        ckpt = str(tmp_path / "ckpt")
+        trainer.save_checkpoint(ckpt)
+        pred1 = trainer.predict(loader)[0]
+
+        trainer2 = Trainer(model)
+        trainer2.load_checkpoint(ckpt, batch)
+        pred2 = trainer2.predict(loader)[0]
+        np.testing.assert_allclose(pred1, pred2, rtol=1e-6)

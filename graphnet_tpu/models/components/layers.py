@@ -308,11 +308,13 @@ class Mlp(nn.Module):
 
 
 class AttentionRel(nn.Module):
-    """Attention with relative-position bias injected into the logits.
+    """BEiTv2-style attention with relative spacetime features.
 
-    BEiTv2-style attention used by DeepIce (reference ``Attention_rel``,
-    ``layers.py:389-499``): separate q/k/v projections (q with optional bias),
-    additive ``rel_pos_bias`` of shape ``[B, H, L, L]`` (or broadcastable).
+    Mirror of reference ``Attention_rel`` (``layers.py:389-499``):
+    ``rel_pos_bias`` is a per-pair feature tensor ``[B, L, L, head_dim]``
+    acting as a relative *key* (contracted against the scaled query into the
+    logits) and relative *value* (attention-weighted into the output).
+    q/v have bias (when ``qkv_bias``), k never does.
     """
 
     num_heads: int = 8
@@ -333,7 +335,7 @@ class AttentionRel(nn.Module):
         scale = hd ** -0.5
         q = nn.Dense(D, use_bias=self.qkv_bias, name="proj_q")(q_in)
         k = nn.Dense(D, use_bias=False, name="proj_k")(k_in)
-        v = nn.Dense(D, use_bias=False, name="proj_v")(v_in)
+        v = nn.Dense(D, use_bias=self.qkv_bias, name="proj_v")(v_in)
 
         def heads(t):
             return t.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
@@ -343,7 +345,11 @@ class AttentionRel(nn.Module):
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         )
         if rel_pos_bias is not None:
-            logits = logits + rel_pos_bias
+            # relative-key term: contract scaled query with pair features
+            logits = logits + jnp.einsum(
+                "bhic,bijc->bhij", q, rel_pos_bias,
+                preferred_element_type=jnp.float32,
+            )
         if key_padding_mask is not None:
             neg = jnp.finfo(logits.dtype).min
             logits = jnp.where(
@@ -351,7 +357,14 @@ class AttentionRel(nn.Module):
             )
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        out = out.transpose(0, 2, 1, 3)  # [B, L, H, hd]
+        if rel_pos_bias is not None:
+            # relative-value term
+            out = out + jnp.einsum(
+                "bhij,bijc->bihc", attn, rel_pos_bias,
+                preferred_element_type=jnp.float32,
+            )
+        out = out.reshape(B, L, D)
         return nn.Dense(D, name="proj")(out)
 
 

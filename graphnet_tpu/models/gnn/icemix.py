@@ -1,0 +1,121 @@
+"""DeepIce (IceMix) — Kaggle 2nd-place transformer (mirror of reference
+``src/graphnet/models/gnn/icemix.py:31-167``, arXiv:2310.15674).
+
+FourierEncoder + SpacetimeEncoder relative features → ``depth_rel``
+BlockRel layers (rel features used in the first ``n_rel``) → cls token →
+``depth`` standard Blocks with layer-scale.  The reference's
+``array_to_sequence`` padding is a no-op here — the batch is already dense.
+Optionally concatenates DynEdge node latents (``include_dynedge``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graphnet_tpu.batch import EventBatch
+from graphnet_tpu.models.components.embedding import (
+    FourierEncoder,
+    SpacetimeEncoder,
+)
+from graphnet_tpu.models.components.layers import Block, BlockRel
+from graphnet_tpu.models.gnn.dynedge import DynEdge
+from graphnet_tpu.models.gnn.gnn import GNN
+
+
+class DeepIce(GNN):
+    hidden_dim: int = 384
+    mlp_ratio: int = 4
+    seq_length: int = 192
+    depth: int = 12
+    head_size: int = 32
+    depth_rel: int = 4
+    n_rel: int = 1
+    scaled_emb: bool = False
+    include_dynedge: bool = False
+    dynedge_args: Optional[Dict[str, Any]] = None
+    n_features: int = 6
+
+    @property
+    def nb_outputs(self) -> int:
+        return self.hidden_dim
+
+    @nn.compact
+    def __call__(self, batch: EventBatch) -> jax.Array:
+        x0, mask = batch.x, batch.mask
+        B, L, _ = x0.shape
+
+        fourier_out = (
+            self.hidden_dim // 2
+            if self.include_dynedge
+            else self.hidden_dim
+        )
+        x = FourierEncoder(
+            seq_length=self.seq_length,
+            output_dim=fourier_out,
+            scaled=self.scaled_emb,
+            n_features=self.n_features,
+            name="fourier_ext",
+        )(x0, batch.n_pulses)
+        rel_pos_bias = SpacetimeEncoder(
+            self.head_size, name="rel_pos"
+        )(x0)
+
+        if self.include_dynedge:
+            args = self.dynedge_args or dict(
+                nb_inputs=self.n_features,
+                nb_neighbours=9,
+                post_processing_layer_sizes=(336, self.hidden_dim // 2),
+                dynedge_layer_sizes=(
+                    (128, 256),
+                    (336, 256),
+                    (336, 256),
+                    (336, 256),
+                ),
+                global_pooling_schemes=None,
+                activation_layer="gelu",
+                add_norm_layer=True,
+                skip_readout=True,
+            )
+            node_latents = DynEdge(**args, name="dyn_edge")(batch)
+            x = jnp.concatenate([x, node_latents], axis=2)
+
+        num_heads = self.hidden_dim // self.head_size
+        for i in range(self.depth_rel):
+            x = BlockRel(
+                num_heads=num_heads, name=f"sandwich_{i}"
+            )(
+                x,
+                rel_pos_bias=(
+                    rel_pos_bias if i < self.n_rel else None
+                ),
+                key_padding_mask=mask,
+            )
+
+        # learned cls token (a bias-free Linear's weight in the reference,
+        # icemix.py:86; here a plain parameter of the same shape)
+        cls_token = self.param(
+            "cls_token",
+            nn.initializers.lecun_normal(),
+            (1, self.hidden_dim),
+        )
+        cls = jnp.broadcast_to(
+            cls_token[None, :, :], (B, 1, self.hidden_dim)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        full_mask = jnp.concatenate(
+            [jnp.ones((B, 1), bool), mask], axis=1
+        )
+
+        for i in range(self.depth):
+            x = Block(
+                num_heads=num_heads,
+                mlp_ratio=float(self.mlp_ratio),
+                init_values=1.0,
+                name=f"blocks_{i}",
+            )(x, key_padding_mask=full_mask)
+
+        return x[:, 0]

@@ -1,0 +1,126 @@
+"""ParticleNeT — DynEdgeConv stack with mean aggregation and BatchNorm
+(mirror of reference ``src/graphnet/models/gnn/particlenet.py:20-255``,
+after arXiv:1902.08570).
+
+BatchNorm inside the conv MLPs uses masked batch statistics over valid
+edges (the torch version's running averages are not replicated — batch
+stats are used in train and eval alike; acceptable for the model family's
+training-time behaviour and noted here for parity review).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graphnet_tpu.batch import EventBatch
+from graphnet_tpu.models.components.layers import (
+    edge_conv_message_inputs,
+    resolve_activation,
+)
+from graphnet_tpu.models.gnn.gnn import GNN
+from graphnet_tpu.ops import edge_reduce, global_pool, knn_graph
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm with statistics over valid (masked) elements only."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+        D = x.shape[-1]
+        m = mask[..., None].astype(x.dtype)
+        n = jnp.maximum(jnp.sum(m), 1.0)
+        mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / n
+        var = (
+            jnp.sum((x - mean) ** 2 * m, axis=tuple(range(x.ndim - 1)))
+            / n
+        )
+        scale = self.param("scale", nn.initializers.ones, (D,))
+        bias = self.param("bias", nn.initializers.zeros, (D,))
+        return (x - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+
+
+class ParticleNeTConv(nn.Module):
+    """EdgeConv with per-layer [Dense, BatchNorm, act] and optional dynamic
+    kNN recompute."""
+
+    nn_sizes: Sequence[int]
+    aggr: str = "mean"
+    activation: str = "relu"
+    add_batchnorm: bool = True
+
+    @nn.compact
+    def __call__(self, x, idx, edge_mask):
+        act = resolve_activation(self.activation)
+        h = edge_conv_message_inputs(x, idx)
+        for i, size in enumerate(self.nn_sizes):
+            h = nn.Dense(size, name=f"dense_{i}")(h)
+            if self.add_batchnorm:
+                h = MaskedBatchNorm(name=f"bn_{i}")(h, edge_mask)
+            h = act(h)
+        return edge_reduce(h, edge_mask, self.aggr)
+
+
+class ParticleNeT(GNN):
+    nb_inputs: int
+    nb_neighbours: int = 16
+    features_subset: Tuple[int, ...] = (0, 1, 2)
+    dynamic: bool = True
+    dynedge_layer_sizes: Tuple[Tuple[int, ...], ...] = (
+        (64, 64, 64),
+        (128, 128, 128),
+        (256, 256, 256),
+    )
+    readout_layer_sizes: Tuple[int, ...] = (256,)
+    global_pooling_schemes: Tuple[str, ...] = ("mean",)
+    activation_layer: str = "relu"
+    add_batchnorm_layer: bool = True
+    dropout_readout: float = 0.1
+    skip_readout: bool = False
+    deterministic: bool = True
+
+    @property
+    def nb_outputs(self) -> int:
+        return self.readout_layer_sizes[-1]
+
+    @nn.compact
+    def __call__(self, batch: EventBatch) -> jax.Array:
+        x, mask = batch.x, batch.mask
+        if batch.edges is not None:
+            idx, edge_mask = batch.edges, batch.edge_mask
+        else:
+            idx, edge_mask = knn_graph(
+                x[..., list(self.features_subset)],
+                mask,
+                k=self.nb_neighbours,
+            )
+
+        for i, sizes in enumerate(self.dynedge_layer_sizes):
+            x = ParticleNeTConv(
+                nn_sizes=tuple(sizes),
+                aggr="mean",
+                activation=self.activation_layer,
+                add_batchnorm=self.add_batchnorm_layer,
+                name=f"conv_{i}",
+            )(x, idx, edge_mask)
+            if self.dynamic:
+                idx, edge_mask = knn_graph(
+                    x[..., list(self.features_subset)],
+                    mask,
+                    k=self.nb_neighbours,
+                )
+
+        if self.skip_readout:
+            return x
+
+        act = resolve_activation(self.activation_layer)
+        h = global_pool(x, mask, self.global_pooling_schemes)
+        for i, size in enumerate(self.readout_layer_sizes):
+            h = act(nn.Dense(size, name=f"readout_{i}")(h))
+            h = nn.Dropout(
+                self.dropout_readout, deterministic=self.deterministic
+            )(h)
+        return h

@@ -1,0 +1,209 @@
+"""Tests for DeepIce, NodeRNN/RNN_TITO, ISeeCube."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from graphnet_tpu.batch import make_batch
+from graphnet_tpu.models.components.embedding import (
+    FourierEncoder,
+    SinusoidalPosEmb,
+    SpacetimeEncoder,
+)
+from graphnet_tpu.models.gnn.icemix import DeepIce
+from graphnet_tpu.models.gnn.rnn_tito import RNNTITO
+from graphnet_tpu.models.rnn.node_rnn import NodeRNN
+from graphnet_tpu.models.transformer.iseecube import ISeeCube
+
+
+def kaggle_events(B=2, seed=0, min_n=6, max_n=30):
+    """x, y, z, time, charge, auxiliary."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(B):
+        n = int(rng.integers(min_n, max_n))
+        ev = np.concatenate(
+            [
+                rng.standard_normal((n, 3)).astype(np.float32),
+                rng.random((n, 1)).astype(np.float32),
+                rng.random((n, 1)).astype(np.float32),
+                rng.integers(0, 2, (n, 1)).astype(np.float32),
+            ],
+            axis=1,
+        )
+        out.append(ev)
+    return out
+
+
+class TestEmbeddings:
+    def test_sinusoidal(self):
+        emb = SinusoidalPosEmb(dim=16)
+        p = emb.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
+        out = emb.apply(p, jnp.ones((2, 3)))
+        assert out.shape == (2, 3, 16)
+        # sin/cos structure: first half sin, second half cos
+        np.testing.assert_allclose(
+            np.asarray(out[0, 0, :8]) ** 2 + np.asarray(out[0, 0, 8:]) ** 2,
+            1.0,
+            rtol=1e-5,
+        )
+
+    def test_fourier_encoder_shapes(self):
+        enc = FourierEncoder(seq_length=32, output_dim=64, n_features=6)
+        x = jnp.zeros((2, 10, 6))
+        p = enc.init(jax.random.PRNGKey(0), x, jnp.asarray([10, 5]))
+        out = enc.apply(p, x, jnp.asarray([10, 5]))
+        assert out.shape == (2, 10, 64)
+
+    def test_spacetime_encoder(self):
+        enc = SpacetimeEncoder(seq_length=16)
+        x = jnp.asarray(
+            np.random.default_rng(0)
+            .standard_normal((2, 8, 6))
+            .astype(np.float32)
+        )
+        p = enc.init(jax.random.PRNGKey(0), x)
+        out = enc.apply(p, x)
+        assert out.shape == (2, 8, 8, 16)
+
+
+class TestDeepIce:
+    def test_forward(self):
+        evs = kaggle_events()
+        batch = make_batch(evs, length=32)
+        model = DeepIce(
+            hidden_dim=96, seq_length=48, depth=2, depth_rel=2, head_size=16
+        )
+        params = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(params, batch)
+        assert out.shape == (2, 96)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_with_dynedge(self):
+        evs = kaggle_events()
+        batch = make_batch(evs, length=32)
+        model = DeepIce(
+            hidden_dim=96,
+            seq_length=48,
+            depth=1,
+            depth_rel=1,
+            head_size=16,
+            include_dynedge=True,
+            n_features=6,
+        )
+        params = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(params, batch)
+        assert out.shape == (2, 96)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_padding_invariance(self):
+        evs = kaggle_events()
+        model = DeepIce(
+            hidden_dim=96, seq_length=48, depth=2, depth_rel=1, head_size=16
+        )
+        b32 = make_batch(evs, length=32)
+        params = model.init(jax.random.PRNGKey(0), b32)
+        o1 = np.asarray(model.apply(params, b32))
+        o2 = np.asarray(model.apply(params, make_batch(evs, length=48)))
+        np.testing.assert_allclose(o1, o2, rtol=5e-4, atol=5e-5)
+
+
+def dom_series_events(B=2, seed=3):
+    """Events in NodeAsDOMTimeSeries output format:
+    [x, y, z, time, charge, new_node_col]."""
+    from graphnet_tpu.models.graphs.nodes import NodeAsDOMTimeSeries
+
+    rng = np.random.default_rng(seed)
+    nd = NodeAsDOMTimeSeries(
+        keys=["dom_x", "dom_y", "dom_z", "dom_time", "charge"],
+        id_columns=["dom_x", "dom_y", "dom_z"],
+        time_column="dom_time",
+        charge_column="charge",
+    )
+    out = []
+    for _ in range(B):
+        n_doms = int(rng.integers(3, 6))
+        doms = rng.standard_normal((n_doms, 3)).astype(np.float32)
+        rows = []
+        for d in range(n_doms):
+            for _ in range(int(rng.integers(1, 5))):
+                rows.append(
+                    np.concatenate(
+                        [
+                            doms[d],
+                            rng.random(1).astype(np.float32) * 10,
+                            rng.random(1).astype(np.float32),
+                        ]
+                    )
+                )
+        x = np.stack(rows)
+        out.append(nd(x).astype(np.float32))
+    return out
+
+
+class TestNodeRNN:
+    def test_dom_compaction_and_charge(self):
+        evs = dom_series_events()
+        batch = make_batch(evs, length=32)
+        model = NodeRNN(
+            nb_inputs=2,
+            hidden_size=16,
+            num_layers=2,
+            time_series_columns=(4, 3),  # charge, time
+        )
+        params = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(params, batch)
+        # output nodes: 5 summary features + 16 hidden
+        assert out.x.shape == (2, 32, 5 + 16)
+        n_doms = [
+            len(np.unique(e[:, :3], axis=0)) for e in evs
+        ]
+        np.testing.assert_array_equal(np.asarray(out.n_pulses), n_doms)
+        # DOM charge = asinh(sum of linear charges per DOM)
+        ev = evs[0]
+        seg_starts = np.nonzero(ev[:, -1])[0]
+        sums = [
+            ev[s:e, 4].sum()
+            for s, e in zip(
+                seg_starts, list(seg_starts[1:]) + [len(ev)]
+            )
+        ]
+        got = np.asarray(out.x[0, : len(sums), 4])
+        np.testing.assert_allclose(
+            np.sort(got), np.sort(np.arcsinh(sums)), rtol=1e-5
+        )
+
+    def test_rnn_tito_forward(self):
+        evs = dom_series_events()
+        batch = make_batch(evs, length=32)
+        model = RNNTITO(
+            nb_inputs=6,
+            time_series_columns=(4, 3),
+            rnn_hidden_size=16,
+            rnn_layers=1,
+            dyntrans_layer_sizes=((64, 64),),
+            n_head=4,
+        )
+        params = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(params, batch)
+        assert out.shape == (2, 128)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestISeeCube:
+    def test_forward(self):
+        evs = kaggle_events()
+        batch = make_batch(evs, length=32)
+        model = ISeeCube(
+            hidden_dim=64,
+            seq_length=32,
+            num_layers=2,
+            num_heads=4,
+            mlp_dim=128,
+        )
+        params = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(params, batch)
+        assert out.shape == (2, 64)
+        assert np.isfinite(np.asarray(out)).all()

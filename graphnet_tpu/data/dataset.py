@@ -84,6 +84,16 @@ class Dataset:
         self._init()
         if selection is None:
             self._indices = self._get_all_indices()
+        elif isinstance(selection, str):
+            # pandas-query-style string selection
+            # (reference dataset.py:268-271, string_selection_resolver.py)
+            from graphnet_tpu.data.string_selection_resolver import (
+                StringSelectionResolver,
+            )
+
+            self._indices = StringSelectionResolver(
+                self, index_column=index_column, seed=seed
+            ).resolve(selection)
         else:
             self._indices = list(selection)
         self._post_init()

@@ -23,6 +23,7 @@ import numpy as np
 from graphnet_tpu.models.detector.detector import Detector
 from graphnet_tpu.models.graphs.edges import EdgeDefinition, KNNEdges
 from graphnet_tpu.models.graphs.nodes import NodeDefinition, NodesAsPulses
+from graphnet_tpu.utils.config import save_config
 
 
 @dataclass
@@ -42,6 +43,7 @@ class Event:
 class GraphDefinition:
     """Detector + NodeDefinition + EdgeDefinition pipeline."""
 
+    @save_config
     def __init__(
         self,
         detector: Detector,

@@ -11,12 +11,14 @@ from graphnet_tpu.models.detector.detector import Detector
 from graphnet_tpu.models.graphs.edges import KNNEdges
 from graphnet_tpu.models.graphs.graph_definition import GraphDefinition
 from graphnet_tpu.models.graphs.nodes import NodeDefinition
+from graphnet_tpu.utils.config import save_config
 
 
 class KNNGraph(GraphDefinition):
     """kNN(k=8) graph on columns (0,1,2) with NodesAsPulses
     (reference ``graphs.py:13-58``)."""
 
+    @save_config
     def __init__(
         self,
         detector: Detector,

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.special import gammaln, i0e, i1e, logsumexp
 
+from graphnet_tpu.utils.config import save_config
+
 Array = jax.Array
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
@@ -189,6 +191,7 @@ class CrossEntropyLoss(LossFunction):
     values (targets are small integers like PDG codes).
     """
 
+    @save_config
     def __init__(self, options: Union[int, List[Any], Dict[Any, int]]):
         self._options = options
         if isinstance(options, int):
@@ -285,6 +288,7 @@ class EnsembleLoss(LossFunction):
     """Weighted sum of losses over (optional) prediction-column slices
     (reference ``loss_functions.py:450-518``)."""
 
+    @save_config
     def __init__(
         self,
         loss_functions: List[LossFunction],
@@ -316,6 +320,7 @@ class EnsembleLoss(LossFunction):
 class RMSEVonMisesFisher3DLoss(EnsembleLoss):
     """RMSE + 0.05 * vMF3D (reference ``loss_functions.py:521-537``)."""
 
+    @save_config
     def __init__(self, vmfs_factor: float = 0.05):
         super().__init__(
             loss_functions=[RMSELoss(), VonMisesFisher3DLoss()],

@@ -56,8 +56,19 @@ class Trainer(Logger):
         data_axis: str = "data",
         checkpoint_dir: Optional[str] = None,
         seed: int = 42,
+        averaging: Optional[str] = None,
+        ema_decay: float = 0.999,
     ) -> None:
+        """``averaging``: None, "swa" (equal-weight running average) or
+        "ema" — analogue of the reference's StandardAveragedModel
+        (``standard_averaged_model.py:21-154``); averaged weights are
+        updated per optimiser step and swapped in at fit end."""
         super().__init__()
+        assert averaging in (None, "swa", "ema")
+        self.averaging = averaging
+        self.ema_decay = ema_decay
+        self._avg_params = None
+        self._avg_count = 0
         self.model = model
         self._lr = learning_rate
         self._schedule = schedule
@@ -195,6 +206,7 @@ class Trainer(Logger):
                     opt_state=opt_state,
                     step=self.state.step + 1,
                 )
+                self._update_averages(params)
                 losses.append(loss)
                 if (i + 1) % log_every_n_steps == 0:
                     self.info(
@@ -242,6 +254,16 @@ class Trainer(Logger):
                     break
             self.info(msg)
 
+        # swap in averaged weights (reference StandardAveragedModel
+        # `standard_averaged_model.py:117-131`)
+        if self.averaging is not None and self._avg_params is not None:
+            self.state = TrainState(
+                params=self._avg_params,
+                opt_state=self.state.opt_state,
+                step=self.state.step,
+            )
+            best_params = None  # averaged weights supersede best-ckpt swap
+
         # restore best weights (reference `easy_model.py:177-184`)
         if best_params is not None:
             self.state = TrainState(
@@ -250,6 +272,29 @@ class Trainer(Logger):
                 step=self.state.step,
             )
         return history
+
+    def _update_averages(self, params) -> None:
+        if self.averaging is None:
+            return
+        if self._avg_params is None:
+            self._avg_params = params
+            self._avg_count = 1
+            return
+        if self.averaging == "swa":
+            n = self._avg_count
+            self._avg_params = jax.tree_util.tree_map(
+                lambda a, p: a + (p - a) / (n + 1),
+                self._avg_params,
+                params,
+            )
+            self._avg_count += 1
+        else:  # ema
+            d = self.ema_decay
+            self._avg_params = jax.tree_util.tree_map(
+                lambda a, p: d * a + (1.0 - d) * p,
+                self._avg_params,
+                params,
+            )
 
     def _log_param_count(self) -> None:
         if self.state is None:

@@ -1,0 +1,268 @@
+"""YAML config system (mirror of reference
+``src/graphnet/utilities/config/``).
+
+The reference serialises arbitrary lambdas as ``'!lambda ...'`` strings and
+``eval``s them back behind a ``trust=True`` gate
+(``model_config.py:36-315``).  This framework replaces that with a
+**registry of named transforms** — configs are pure data, deserialisation
+never executes strings, and no trust flag is needed.
+
+Three pieces:
+  * ``ModelConfig``: ``{class_name, arguments}``, recursive over nested
+    components (detector → nodes → graph definition → backbone → tasks);
+  * a class registry auto-populated with every framework component;
+  * ``save_config``/``capture_config``/``build`` for round-tripping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import inspect
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import yaml
+
+# ---------------------------------------------------------------------------
+# Registries
+# ---------------------------------------------------------------------------
+
+CLASS_REGISTRY: Dict[str, type] = {}
+TRANSFORM_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_class(cls: type, name: Optional[str] = None) -> type:
+    CLASS_REGISTRY[name or cls.__name__] = cls
+    return cls
+
+
+def register_transform(name: str, fn: Callable) -> None:
+    TRANSFORM_REGISTRY[name] = fn
+    setattr(fn, "_config_name", name)
+
+
+def _register_builtin_transforms() -> None:
+    import jax.numpy as jnp
+
+    register_transform("log10", lambda x: jnp.log10(x))
+    register_transform("pow10", lambda x: jnp.power(10.0, x))
+    register_transform("log", lambda x: jnp.log(x))
+    register_transform("exp", lambda x: jnp.exp(x))
+    register_transform("identity", lambda x: x)
+    register_transform("cosh", lambda x: jnp.cosh(x))
+    register_transform("arccosh", lambda x: jnp.arccosh(x))
+
+
+_register_builtin_transforms()
+
+
+def _register_framework_classes() -> None:
+    """Populate the class registry with every public framework component."""
+    import graphnet_tpu.models.detector as det
+    import graphnet_tpu.models.graphs.graphs as graphs
+    import graphnet_tpu.models.graphs.graph_definition as graph_definition
+    import graphnet_tpu.models.graphs.nodes as nodes
+    import graphnet_tpu.models.graphs.edges as edges
+    from graphnet_tpu.models.detector.detector import _DETECTOR_REGISTRY
+    import graphnet_tpu.models.gnn.convnet as convnet
+    import graphnet_tpu.models.gnn.dynedge as dynedge
+    import graphnet_tpu.models.gnn.dynedge_jinst as jinst
+    import graphnet_tpu.models.gnn.dynedge_kaggle_tito as tito
+    import graphnet_tpu.models.gnn.icemix as icemix
+    import graphnet_tpu.models.gnn.particlenet as particlenet
+    import graphnet_tpu.models.gnn.rnn_tito as rnn_tito
+    import graphnet_tpu.models.rnn.node_rnn as node_rnn
+    import graphnet_tpu.models.standard_model as sm
+    import graphnet_tpu.models.task.classification as cls_tasks
+    import graphnet_tpu.models.task.reconstruction as rec_tasks
+    import graphnet_tpu.models.task.task as task_base
+    import graphnet_tpu.models.transformer.iseecube as iseecube
+    import graphnet_tpu.training.loss_functions as losses
+
+    for mod in (
+        graphs,
+        graph_definition,
+        nodes,
+        edges,
+        convnet,
+        dynedge,
+        jinst,
+        tito,
+        icemix,
+        particlenet,
+        rnn_tito,
+        node_rnn,
+        sm,
+        cls_tasks,
+        rec_tasks,
+        task_base,
+        losses,
+        iseecube,
+    ):
+        for name, obj in vars(mod).items():
+            if inspect.isclass(obj) and obj.__module__ == mod.__name__:
+                register_class(obj, name)
+    for name, cls in _DETECTOR_REGISTRY.items():
+        register_class(cls, name)
+
+
+# ---------------------------------------------------------------------------
+# Config capture
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Serializable description of a component tree."""
+
+    class_name: str
+    arguments: Dict[str, Any]
+
+    def as_dict(self) -> Dict[str, Any]:
+        return {
+            "class_name": self.class_name,
+            "arguments": _encode(self.arguments),
+        }
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.as_dict(), f, sort_keys=False)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
+        return cls(
+            class_name=d["class_name"], arguments=d["arguments"]
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ModelConfig":
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+
+def _encode(value: Any) -> Any:
+    """Encode python values to YAML-safe structures."""
+    if value is None or isinstance(value, (str, bool)):
+        return value
+    if isinstance(value, (np.integer, int)):
+        return int(value)
+    if isinstance(value, (np.floating, float)):
+        return float(value)
+    if isinstance(value, ModelConfig):
+        return {"__model__": value.as_dict()}
+    if isinstance(value, dict):
+        return {k: _encode(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_encode(v) for v in value]
+    if inspect.isfunction(value) or inspect.isbuiltin(value):
+        name = getattr(value, "_config_name", None)
+        if name is None:
+            raise ValueError(
+                f"Cannot serialise unregistered callable {value!r}; "
+                "register it with register_transform()."
+            )
+        return {"__transform__": name}
+    # any other object: capture it as a nested component
+    return {"__model__": capture_config(value).as_dict()}
+
+
+def _decode(value: Any) -> Any:
+    if isinstance(value, dict):
+        if "__model__" in value:
+            return build(ModelConfig.from_dict(value["__model__"]))
+        if "__transform__" in value:
+            return TRANSFORM_REGISTRY[value["__transform__"]]
+        return {k: _decode(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_decode(v) for v in value]
+    return value
+
+
+def capture_config(obj: Any) -> ModelConfig:
+    """Derive a ModelConfig from an object.
+
+    flax modules are dataclasses: their fields are the config.  Other
+    classes must have used the :func:`save_config` decorator (which stashes
+    constructor kwargs on the instance).
+    """
+    if hasattr(obj, "_captured_config"):
+        return obj._captured_config
+    if dataclasses.is_dataclass(obj):
+        args = {}
+        for f in dataclasses.fields(obj):
+            if f.name in ("parent", "name"):
+                continue
+            args[f.name] = getattr(obj, f.name)
+        return ModelConfig(
+            class_name=type(obj).__name__, arguments=args
+        )
+    # objects whose constructor takes no arguments need no capture
+    sig = inspect.signature(type(obj).__init__)
+    if list(sig.parameters) == ["self"] or (
+        type(obj).__init__ is object.__init__
+    ):
+        return ModelConfig(class_name=type(obj).__name__, arguments={})
+    raise TypeError(
+        f"Cannot capture config of {type(obj).__name__}; use @save_config."
+    )
+
+
+def save_config(init: Callable) -> Callable:
+    """Decorator for non-dataclass ``__init__``s: capture kwargs into
+    ``self._captured_config`` (analogue of the reference's
+    ``ModelConfigSaverMeta``, ``model_config.py:317-349``)."""
+
+    @functools.wraps(init)
+    def wrapper(self, *args, **kwargs):
+        sig = inspect.signature(init)
+        bound = sig.bind(self, *args, **kwargs)
+        bound.apply_defaults()
+        captured = {
+            k: v
+            for k, v in bound.arguments.items()
+            if k not in ("self",)
+        }
+        captured.update(captured.pop("kwargs", {}))
+        # first capture wins: a subclass constructor that delegates to a
+        # decorated base-class constructor must not be overwritten by it
+        if not hasattr(self, "_captured_config"):
+            self._captured_config = ModelConfig(
+                class_name=type(self).__name__, arguments=captured
+            )
+        return init(self, *args, **kwargs)
+
+    return wrapper
+
+
+def build(config: ModelConfig) -> Any:
+    """Instantiate a component tree from a config (no code execution)."""
+    if not CLASS_REGISTRY:
+        _register_framework_classes()
+    if config.class_name not in CLASS_REGISTRY:
+        _register_framework_classes()
+    cls = CLASS_REGISTRY[config.class_name]
+    args = {k: _decode(v) for k, v in config.arguments.items()}
+    # flax dataclasses want tuples for sequence fields
+    if dataclasses.is_dataclass(cls):
+        field_types = {f.name: f for f in dataclasses.fields(cls)}
+        for k, v in args.items():
+            if isinstance(v, list):
+                args[k] = _tuplify(v)
+    return cls(**args)
+
+
+def _tuplify(v):
+    if isinstance(v, list):
+        return tuple(_tuplify(x) for x in v)
+    return v
+
+
+def save_model_config(model: Any, path: str) -> None:
+    capture_config(model).dump(path)
+
+
+def load_model(path: str) -> Any:
+    if not CLASS_REGISTRY:
+        _register_framework_classes()
+    return build(ModelConfig.load(path))

@@ -50,7 +50,7 @@ def _synthetic_batch(seed=0):
     return make_batch(events, labels=labels, length=L)
 
 
-def bench_jax() -> dict:
+def bench_jax(compute_dtype=None) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -61,7 +61,7 @@ def bench_jax() -> dict:
     from graphnet_tpu.training.loss_functions import LogCoshLoss
 
     model = StandardModel(
-        backbone=DynEdge(nb_inputs=D),
+        backbone=DynEdge(nb_inputs=D, compute_dtype=compute_dtype),
         tasks=(
             EnergyReconstruction(
                 loss_function=LogCoshLoss(),
@@ -195,7 +195,8 @@ def main() -> None:
         with open(cache, "w") as f:
             json.dump({"torch_cpu_events_per_s": baseline}, f)
 
-    res = bench_jax()
+    res = bench_jax(compute_dtype="bfloat16")
+    res_fp32 = bench_jax(compute_dtype=None)
     print(
         json.dumps(
             {
@@ -206,9 +207,13 @@ def main() -> None:
                 "detail": {
                     "edges_per_s": round(res["edges_per_s"], 0),
                     "step_ms": round(res["step_ms"], 2),
+                    "fp32_events_per_s": round(
+                        res_fp32["events_per_s"], 1
+                    ),
                     "batch": B,
                     "max_len": L,
                     "k": K,
+                    "compute_dtype": "bfloat16 (params fp32)",
                     "backend": res["backend"],
                     "baseline": "equivalent dense DynEdge, torch CPU, "
                     "this machine",

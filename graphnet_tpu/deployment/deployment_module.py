@@ -1,0 +1,72 @@
+"""DeploymentModule — load a trained model and run inference on events
+(mirror of reference ``src/graphnet/deployment/deployment_module.py:14-100``).
+
+A deployment module is constructed from a model-config YAML + a params
+snapshot and maps batches of events to prediction arrays; experiment-
+specific deployers feed it events from their native file formats.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import List, Optional, Union
+
+import numpy as np
+
+from graphnet_tpu.data.dataloader import collate_events
+from graphnet_tpu.models.graphs.graph_definition import Event
+from graphnet_tpu.utils.logging import Logger
+
+
+class DeploymentModule(Logger):
+    """Trained model + params, applied to events at inference time."""
+
+    def __init__(
+        self,
+        model_config: str,
+        state_dict: str,
+        prediction_columns: Optional[List[str]] = None,
+    ):
+        """Args:
+        model_config: path to a model-config YAML
+            (``graphnet_tpu.utils.config``).
+        state_dict: path to a pickled params snapshot
+            (``Trainer.save_state_dict``).
+        prediction_columns: names for the output columns; defaults to the
+            model's ``prediction_labels``.
+        """
+        super().__init__()
+        from graphnet_tpu.utils.config import load_model
+
+        self.model = load_model(model_config)
+        with open(state_dict, "rb") as f:
+            self.params = pickle.load(f)
+        self.prediction_columns = (
+            prediction_columns or self.model.prediction_labels
+        )
+        self._predict_fn = None
+
+    def _compile(self):
+        import jax
+
+        model = self.model
+
+        @jax.jit
+        def predict(params, batch):
+            outputs = model.apply(params, batch, inference=True)
+            return [pred for pred, _ in outputs]
+
+        self._predict_fn = predict
+
+    def __call__(
+        self, events: Union[Event, List[Event]]
+    ) -> np.ndarray:
+        """Predict on one or more events; returns ``[n_events, n_cols]``."""
+        if isinstance(events, Event):
+            events = [events]
+        if self._predict_fn is None:
+            self._compile()
+        batch = collate_events(events, min_pulses=1)
+        assert batch is not None, "all events empty"
+        outs = self._predict_fn(self.params, batch)
+        return np.concatenate([np.asarray(o) for o in outs], axis=1)

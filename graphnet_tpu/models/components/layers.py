@@ -95,6 +95,7 @@ class EdgeConv(nn.Module):
     activation: str = "relu"
     add_norm_layer: bool = False
     tito: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -105,9 +106,13 @@ class EdgeConv(nn.Module):
             self.nn_sizes,
             activation=self.activation,
             add_norm_layer=self.add_norm_layer,
+            dtype=self.dtype,
             name="nn",
         )(msg_in)
-        return edge_reduce(msgs, edge_mask, self.aggr)
+        # reduce in fp32 regardless of compute dtype (sum accuracy)
+        return edge_reduce(
+            msgs.astype(jnp.float32), edge_mask, self.aggr
+        )
 
 
 class DynEdgeConv(nn.Module):
@@ -124,6 +129,7 @@ class DynEdgeConv(nn.Module):
     features_subset: Tuple[int, ...] = (0, 1, 2)
     activation: str = "relu"
     add_norm_layer: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -138,6 +144,7 @@ class DynEdgeConv(nn.Module):
             aggr=self.aggr,
             activation=self.activation,
             add_norm_layer=self.add_norm_layer,
+            dtype=self.dtype,
             name="conv",
         )(x, idx, edge_mask)
         coords = x[..., list(self.features_subset)]

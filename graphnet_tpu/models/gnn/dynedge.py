@@ -66,6 +66,10 @@ class DynEdge(GNN):
     activation_layer: str = "relu"
     add_norm_layer: bool = False
     skip_readout: bool = False
+    # compute dtype for the conv/MLP stack ("bfloat16" puts the edge-MLP
+    # matmuls on the MXU's native precision; params stay fp32). kNN
+    # distances and pooling remain fp32 for ranking/reduction accuracy.
+    compute_dtype: Optional[str] = None
 
     @property
     def nb_outputs(self) -> int:
@@ -113,6 +117,9 @@ class DynEdge(GNN):
                 axis=-1,
             )
 
+        cdtype = (
+            jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        )
         skip_connections = [x]
         for i, sizes in enumerate(self.dynedge_layer_sizes):
             x, idx, edge_mask = DynEdgeConv(
@@ -122,6 +129,7 @@ class DynEdge(GNN):
                 features_subset=self.features_subset,
                 activation=self.activation_layer,
                 add_norm_layer=self.add_norm_layer,
+                dtype=cdtype,
                 name=f"conv_{i}",
             )(x, mask, idx, edge_mask)
             skip_connections.append(x)
@@ -132,8 +140,10 @@ class DynEdge(GNN):
             self.post_processing_layer_sizes,
             activation=self.activation_layer,
             add_norm_layer=self.add_norm_layer,
+            dtype=cdtype,
             name="post_processing",
         )(x)
+        x = x.astype(jnp.float32)
 
         if self.skip_readout:
             return x

@@ -1,0 +1,224 @@
+"""IceCube/IceTray extractors (mirror of reference
+``src/graphnet/data/extractors/icecube/``; import-guarded exactly like the
+reference because they require the proprietary ``icecube`` software stack,
+``utilities/imports.py:9-21``).
+
+Implemented against the IceTray frame API: per-pulse features (dom position,
+time, charge, rde, pmt area, hlc flag) and per-event MC truth (energy,
+direction, interaction type, ...).  These paths cannot be exercised in this
+repository's CI (no IceTray); behaviour targets the reference's
+``I3FeatureExtractorIceCube86`` (``i3featureextractor.py:31``) and
+``I3TruthExtractor`` (``i3truthextractor.py:22``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from graphnet_tpu.data.extractors.extractor import Extractor
+from graphnet_tpu.utils.imports import has_icecube_package
+
+if has_icecube_package():
+    from icecube import (  # pyright: ignore # noqa: F401
+        dataclasses,
+        icetray,
+    )
+
+
+class I3Extractor(Extractor):
+    """Base for extractors operating on (physics frame, gcd file)."""
+
+    def __init__(self, extractor_name: str):
+        super().__init__(extractor_name=extractor_name)
+        self._i3_file: Optional[str] = None
+        self._gcd_file: Optional[str] = None
+        self._gcd_dict: Optional[Dict] = None
+        self._calibration = None
+
+    def set_gcd(self, i3_file: str, gcd_file: Optional[str] = None) -> None:
+        """Load the geometry/calibration from the GCD (or i3) file
+        (reference ``i3extractor.py``)."""
+        from icecube import dataio  # pyright: ignore
+
+        gcd = dataio.I3File(gcd_file or i3_file)
+        g_frame = None
+        c_frame = None
+        while gcd.more() and (g_frame is None or c_frame is None):
+            frame = gcd.pop_frame()
+            if "I3Geometry" in frame and g_frame is None:
+                g_frame = frame["I3Geometry"]
+            if "I3Calibration" in frame and c_frame is None:
+                c_frame = frame["I3Calibration"]
+        assert g_frame is not None, "no I3Geometry in GCD"
+        self._gcd_dict = g_frame.omgeo
+        self._calibration = c_frame
+
+    def __call__(self, frame) -> Dict[str, Any]:
+        raise NotImplementedError
+
+
+class I3FeatureExtractor(I3Extractor):
+    """Pulse-map feature extraction base."""
+
+    def __init__(self, pulsemap: str):
+        super().__init__(extractor_name=pulsemap)
+        self._pulsemap = pulsemap
+
+    def _get_pulse_map(self, frame):
+        from icecube import dataclasses  # pyright: ignore
+
+        return dataclasses.I3RecoPulseSeriesMap.from_frame(
+            frame, self._pulsemap
+        )
+
+
+class I3FeatureExtractorIceCube86(I3FeatureExtractor):
+    """dom_x/y/z, time, charge, rde, pmt_area, hlc per pulse
+    (reference ``i3featureextractor.py:31-205``)."""
+
+    def __call__(self, frame) -> Dict[str, List[float]]:
+        output: Dict[str, List[float]] = {
+            k: []
+            for k in (
+                "charge",
+                "dom_time",
+                "dom_x",
+                "dom_y",
+                "dom_z",
+                "width",
+                "pmt_area",
+                "rde",
+                "hlc",
+            )
+        }
+        try:
+            pulse_map = self._get_pulse_map(frame)
+        except KeyError:
+            return output
+        assert self._gcd_dict is not None, "call set_gcd first"
+        for om_key, pulses in pulse_map.items():
+            om = self._gcd_dict[om_key]
+            rde = self._get_relative_dom_efficiency(om_key)
+            for pulse in pulses:
+                output["charge"].append(pulse.charge)
+                output["dom_time"].append(pulse.time)
+                output["width"].append(pulse.width)
+                output["pmt_area"].append(om.area)
+                output["rde"].append(rde)
+                output["dom_x"].append(om.position.x)
+                output["dom_y"].append(om.position.y)
+                output["dom_z"].append(om.position.z)
+                output["hlc"].append(
+                    (pulse.flags & pulse.PulseFlags.LC) >> 1
+                )
+        return output
+
+    def _get_relative_dom_efficiency(self, om_key) -> float:
+        try:
+            return self._calibration.dom_cal[om_key].relative_dom_eff
+        except (KeyError, AttributeError):
+            return -1.0
+
+
+class I3FeatureExtractorIceCubeDeepCore(I3FeatureExtractorIceCube86):
+    """Identical columns; DeepCore pulse maps."""
+
+
+class I3FeatureExtractorIceCubeUpgrade(I3FeatureExtractorIceCube86):
+    """Adds string/pmt_number/dom_number/pmt direction/dom_type columns
+    (reference ``i3featureextractor.py:208-260``)."""
+
+    def __call__(self, frame) -> Dict[str, List[float]]:
+        output = super().__call__(frame)
+        extra: Dict[str, List[float]] = {
+            k: []
+            for k in (
+                "string",
+                "pmt_number",
+                "dom_number",
+                "pmt_dir_x",
+                "pmt_dir_y",
+                "pmt_dir_z",
+                "dom_type",
+            )
+        }
+        try:
+            pulse_map = self._get_pulse_map(frame)
+        except KeyError:
+            output.update(extra)
+            return output
+        assert self._gcd_dict is not None
+        for om_key, pulses in pulse_map.items():
+            om = self._gcd_dict[om_key]
+            for _ in pulses:
+                extra["string"].append(om_key[0])
+                extra["pmt_number"].append(om_key[2])
+                extra["dom_number"].append(om_key[1])
+                extra["pmt_dir_x"].append(om.orientation.x)
+                extra["pmt_dir_y"].append(om.orientation.y)
+                extra["pmt_dir_z"].append(om.orientation.z)
+                extra["dom_type"].append(om.omtype)
+        output.update(extra)
+        return output
+
+
+class I3TruthExtractor(I3Extractor):
+    """Per-event MC truth: energy, direction, vertex, pid, interaction
+    type (reference ``i3truthextractor.py:22-440``, core paths)."""
+
+    def __init__(
+        self,
+        name: str = "truth",
+        mctree: str = "I3MCTree",
+    ):
+        super().__init__(extractor_name=name)
+        self._mctree = mctree
+
+    def __call__(self, frame, padding_value: float = -1.0) -> Dict[str, Any]:
+        from icecube import dataclasses  # pyright: ignore
+
+        output: Dict[str, Any] = {
+            k: padding_value
+            for k in (
+                "energy",
+                "position_x",
+                "position_y",
+                "position_z",
+                "azimuth",
+                "zenith",
+                "pid",
+                "interaction_type",
+                "interaction_time",
+                "inelasticity",
+                "energy_track",
+                "energy_cascade",
+            )
+        }
+        if self._mctree not in frame:
+            return output
+        tree = frame[self._mctree]
+        primaries = tree.get_primaries()
+        if not primaries:
+            return output
+        primary = primaries[0]
+        output.update(
+            energy=primary.energy,
+            position_x=primary.pos.x,
+            position_y=primary.pos.y,
+            position_z=primary.pos.z,
+            azimuth=primary.dir.azimuth,
+            zenith=primary.dir.zenith,
+            pid=primary.pdg_encoding,
+            interaction_time=primary.time,
+        )
+        if "I3MCWeightDict" in frame:
+            wd = frame["I3MCWeightDict"]
+            output["interaction_type"] = wd.get(
+                "InteractionType", padding_value
+            )
+            output["inelasticity"] = 1.0 - wd.get(
+                "BjorkenY", 1.0 - padding_value
+            )
+        return output

@@ -28,14 +28,14 @@ def _knn_kernel(q_ref, kx_ref, kmask_ref, idx_ref, d_ref, *, k, tl):
 
     q_ref:    [1, TL, D]  query coords
     kx_ref:   [1, L, D]   all coords of this event
-    kmask_ref:[1, L]      validity of keys (float32 0/1)
+    kmask_ref:[1, 1, L]   validity of keys (float32 0/1)
     idx_ref:  [1, TL, k]  out neighbour indices
     d_ref:    [1, TL, k]  out neighbour squared distances
     """
     t = pl.program_id(1)
     q = q_ref[0]  # [TL, D]
     kx = kx_ref[0]  # [L, D]
-    kmask = kmask_ref[0]  # [L]
+    kmask = kmask_ref[0, 0]  # [L]
     L = kx.shape[0]
 
     qsq = jnp.sum(q * q, axis=1, keepdims=True)  # [TL, 1]
@@ -105,7 +105,7 @@ def knn_graph_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, L), lambda b, t: (b, 0),
+                (1, 1, L), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -125,6 +125,6 @@ def knn_graph_pallas(
             jax.ShapeDtypeStruct((B, L, k), jnp.int32),
             jax.ShapeDtypeStruct((B, L, k), jnp.float32),
         ],
-    )(coords, coords, fmask)
+    )(coords, coords, fmask[:, None, :])
     edge_mask = (d2 < _BIG * 0.5) & mask[:, :, None]
     return idx, edge_mask

@@ -1,0 +1,35 @@
+"""Pallas kNN kernel vs the XLA implementation (interpret mode on CPU;
+the real-TPU equivalence is exercised by bench runs)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from graphnet_tpu.batch import make_batch
+from graphnet_tpu.ops.knn import _knn_graph_xla
+
+
+def test_pallas_knn_matches_xla_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from graphnet_tpu.ops.knn_pallas import knn_graph_pallas
+
+    rng = np.random.default_rng(0)
+    events = [
+        rng.standard_normal((int(rng.integers(10, 64)), 3)).astype(
+            np.float32
+        )
+        * 50.0
+        for _ in range(6)
+    ]
+    batch = make_batch(events, length=64)
+    i1, m1 = _knn_graph_xla(batch.x, batch.mask, k=8)
+    with pltpu.force_tpu_interpret_mode():
+        i2, m2 = knn_graph_pallas(batch.x, batch.mask, k=8, tile=64)
+    i1, m1, i2, m2 = map(np.asarray, (i1, m1, i2, m2))
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(
+        np.sort(np.where(m1, i1, -1), axis=-1),
+        np.sort(np.where(m2, i2, -1), axis=-1),
+    )

@@ -88,6 +88,14 @@ class EdgeConv(nn.Module):
 
     Functional equivalent of PyG ``EdgeConv`` (reference ``layers.py:20``,
     message at torch_geometric's EdgeConv.message) on dense neighbour lists.
+
+    The first linear layer is *linearised*: since
+    ``cat[x_i, x_j - x_i] @ [W1; W2] = x_i @ (W1 - W2) + x_j @ W2``
+    (and the TITO 3-way message analogously), it is computed per **node**
+    (N matmuls) instead of per **edge** (N·k matmuls), and the
+    ``[B, L, k, 2D]`` message-input tensor is never materialised — the
+    per-edge work starts at the activation.  Exact same math, ~2x fewer
+    first-layer FLOPs and far less HBM traffic.
     """
 
     nn_sizes: Sequence[int]
@@ -101,14 +109,28 @@ class EdgeConv(nn.Module):
     def __call__(
         self, x: jax.Array, idx: jax.Array, edge_mask: jax.Array
     ) -> jax.Array:
-        msg_in = edge_conv_message_inputs(x, idx, tito=self.tito)
-        msgs = MLP(
-            self.nn_sizes,
-            activation=self.activation,
-            add_norm_layer=self.add_norm_layer,
-            dtype=self.dtype,
-            name="nn",
-        )(msg_in)
+        act = resolve_activation(self.activation)
+        h0 = self.nn_sizes[0]
+        # self-term: x_i @ (W1 - W2) + bias   (tito: W1 - W2)
+        a = nn.Dense(h0, dtype=self.dtype, name="self_dense")(x)
+        # neighbour-term: x_j @ W2            (tito: x_j @ (W2 + W3))
+        b = nn.Dense(
+            h0, use_bias=False, dtype=self.dtype, name="nbr_dense"
+        )(x)
+        msgs = a[:, :, None, :] + gather_neighbors(b, idx)
+        if self.add_norm_layer:
+            msgs = nn.LayerNorm(
+                epsilon=1e-5, dtype=self.dtype, name="norm_0"
+            )(msgs)
+        msgs = act(msgs)
+        if len(self.nn_sizes) > 1:
+            msgs = MLP(
+                self.nn_sizes[1:],
+                activation=self.activation,
+                add_norm_layer=self.add_norm_layer,
+                dtype=self.dtype,
+                name="nn",
+            )(msgs)
         # reduce in fp32 regardless of compute dtype (sum accuracy)
         return edge_reduce(
             msgs.astype(jnp.float32), edge_mask, self.aggr

@@ -82,6 +82,10 @@ def knn_graph_pallas(
     tile = min(tile, L)
     assert L % tile == 0, f"L={L} not a multiple of tile={tile}"
 
+    # neighbour indices are non-differentiable; cut tangents so the kernel
+    # is never traced under JVP (pallas_call has no JVP rule)
+    coords = jax.lax.stop_gradient(coords)
+
     # per-event centering (translation-invariant ranking, better fp32)
     denom = jnp.maximum(jnp.sum(mask, axis=1), 1)[:, None]
     center = (

@@ -165,10 +165,17 @@ class Trainer(Logger):
         use_default_schedule: bool = True,
         log_every_n_steps: int = 25,
         ckpt_best: bool = True,
+        resume: bool = False,
+        profile_dir: Optional[str] = None,
     ) -> Dict[str, List[float]]:
         """Train; returns history dict. Mirrors `EasySyntax.fit` defaults
         (`easy_model.py:114-184`): early stopping on val_loss with best-
-        weight restore at the end."""
+        weight restore at the end.
+
+        ``resume=True`` restores ``<checkpoint_dir>/last`` (params,
+        optimiser state, epoch) if present — preemption-safe training.
+        ``profile_dir`` captures a jax profiler trace of the first epoch's
+        steps for xprof analysis."""
         if use_default_schedule and self._schedule is None:
             # canonical DynEdge schedule
             steps_per_epoch = max(len(train_loader), 1)
@@ -189,7 +196,23 @@ class Trainer(Logger):
         stopper = EarlyStopping(patience=early_stopping_patience)
         best_params = None
 
-        for epoch in range(max_epochs):
+        start_epoch = 0
+        last_ckpt = (
+            os.path.join(self.checkpoint_dir, "last")
+            if self.checkpoint_dir
+            else None
+        )
+        if resume and last_ckpt and os.path.exists(last_ckpt):
+            example = next(iter(train_loader))
+            start_epoch = self.load_train_state(last_ckpt, example) + 1
+            self.info(f"resumed from {last_ckpt} at epoch {start_epoch}")
+
+        profiling = False
+        if profile_dir is not None:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+
+        for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             losses = []
             for i, batch in enumerate(train_loader):
@@ -215,6 +238,12 @@ class Trainer(Logger):
                     )
             train_loss = float(np.mean([float(l) for l in losses]))
             history["train_loss"].append(train_loss)
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                self.info(f"profiler trace written to {profile_dir}")
+            if last_ckpt is not None:
+                self.save_train_state(last_ckpt, epoch)
 
             msg = (
                 f"epoch {epoch}: train_loss={train_loss:.4f} "
@@ -253,6 +282,9 @@ class Trainer(Logger):
                     self.info(msg)
                     break
             self.info(msg)
+
+        if profiling:
+            jax.profiler.stop_trace()
 
         # swap in averaged weights (reference StandardAveragedModel
         # `standard_averaged_model.py:117-131`)
@@ -353,6 +385,7 @@ class Trainer(Logger):
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str) -> None:
+        """Params-only snapshot (for serving / best-weights)."""
         import orbax.checkpoint as ocp
 
         assert self.state is not None
@@ -377,6 +410,56 @@ class Trainer(Logger):
             params=self._replicate(params),
             opt_state=self._replicate(opt_state),
         )
+
+    # -- preemption-safe full training state (params + opt state + step) --
+    def save_train_state(self, path: str, epoch: int) -> None:
+        """Full resumable snapshot — params, optimiser state, step and
+        epoch.  Designed for preemptible TPU pods (the reference has no
+        preemption story; SURVEY.md §5.3)."""
+        import orbax.checkpoint as ocp
+
+        assert self.state is not None
+        path = os.path.abspath(path)
+        ckptr = ocp.StandardCheckpointer()
+        payload = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "meta": {
+                "step": np.asarray(self.state.step),
+                "epoch": np.asarray(epoch),
+            },
+        }
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+
+    def load_train_state(
+        self, path: str, example_batch: EventBatch
+    ) -> int:
+        """Restore a full snapshot; returns the epoch to resume from."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        params_t = self.model.init(
+            jax.random.PRNGKey(self.seed), example_batch
+        )
+        target = {
+            "params": jax.device_get(params_t),
+            "opt_state": jax.device_get(
+                self.optimizer.init(params_t)
+            ),
+            "meta": {
+                "step": np.asarray(0),
+                "epoch": np.asarray(0),
+            },
+        }
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, target=target)
+        self.state = TrainState(
+            params=self._replicate(restored["params"]),
+            opt_state=self._replicate(restored["opt_state"]),
+            step=int(restored["meta"]["step"]),
+        )
+        return int(restored["meta"]["epoch"])
 
     def save_state_dict(self, path: str) -> None:
         """Single-file params snapshot (analogue of reference

@@ -44,9 +44,10 @@ class TestTITO:
         batch = make_batch(evs, length=32)
         model = DynEdgeTITO(nb_inputs=7)
         p = model.init(jax.random.PRNGKey(0), batch)["params"]
-        # first DynTrans edge MLP input = 3 * 7 (tito message)
-        k = p["conv_0"]["conv"]["nn"]["dense_0"]["kernel"]
-        assert k.shape == (21, 256)
+        # first DynTrans edge layer (linearised tito message):
+        # self/neighbour Dense of 7 -> 256, equivalent to Linear(3*7, 256)
+        assert p["conv_0"]["conv"]["self_dense"]["kernel"].shape == (7, 256)
+        assert p["conv_0"]["conv"]["nbr_dense"]["kernel"].shape == (7, 256)
         # readout input = 256 (max pool) + 12 global
         assert p["readout"]["dense_0"]["kernel"].shape == (268, 256)
 

@@ -106,14 +106,17 @@ def test_param_shapes_match_reference_architecture():
     batch = make_batch(events, length=32)
     model = DynEdge(nb_inputs=7)
     params = model.init(jax.random.PRNGKey(3), batch)["params"]
-    # conv_0 first dense: in = 2*(7 inputs + 12 global), out 128
-    k0 = params["conv_0"]["conv"]["nn"]["dense_0"]["kernel"]
-    assert k0.shape == (2 * (7 + 12), 128)
-    k1 = params["conv_0"]["conv"]["nn"]["dense_1"]["kernel"]
+    # conv_0 first (linearised) layer: self/neighbour Dense of
+    # (7 inputs + 12 global) -> 128; equivalent to the reference's
+    # Linear(2*19, 128) on cat[x_i, x_j - x_i]
+    k0a = params["conv_0"]["conv"]["self_dense"]["kernel"]
+    k0b = params["conv_0"]["conv"]["nbr_dense"]["kernel"]
+    assert k0a.shape == (7 + 12, 128) and k0b.shape == (7 + 12, 128)
+    k1 = params["conv_0"]["conv"]["nn"]["dense_0"]["kernel"]
     assert k1.shape == (128, 256)
-    # conv_1 first dense: in = 2*256
-    assert params["conv_1"]["conv"]["nn"]["dense_0"]["kernel"].shape == (
-        512,
+    # conv_1 first layer: 256 -> 336
+    assert params["conv_1"]["conv"]["self_dense"]["kernel"].shape == (
+        256,
         336,
     )
     # post-processing input: 19 + 4*256 = 1043

@@ -47,9 +47,19 @@ def np_mlp(params, x, activation=lambda v: np.maximum(v, 0)):
 
 
 def np_edgeconv(params, x, src, dst, n):
-    """EdgeConv: msg = mlp(cat[x_i, x_j - x_i]); scatter-add onto i."""
+    """EdgeConv: msg = mlp(cat[x_i, x_j - x_i]); scatter-add onto i.
+
+    The flax module linearises the first layer into self/neighbour Dense
+    terms (exact rewrite of Linear(2D, H) on cat[x_i, x_j - x_i]); this
+    sparse reference applies the same two matrices per edge.
+    """
+    Wa = np.asarray(params["self_dense"]["kernel"])
+    ba = np.asarray(params["self_dense"]["bias"])
+    Wb = np.asarray(params["nbr_dense"]["kernel"])
     x_i, x_j = x[dst], x[src]
-    msgs = np_mlp(params, np.concatenate([x_i, x_j - x_i], axis=1))
+    msgs = np.maximum(x_i @ Wa + ba + x_j @ Wb, 0)
+    if "nn" in params:
+        msgs = np_mlp(params["nn"], msgs)
     out = np.zeros((n, msgs.shape[1]), np.float32)
     np.add.at(out, dst, msgs)
     return out
@@ -77,7 +87,7 @@ def np_dynedge_forward(params, x, k=8):
 
     skips = [h]
     for li in range(4):
-        conv_params = params[f"conv_{li}"]["conv"]["nn"]
+        conv_params = params[f"conv_{li}"]["conv"]
         h = np_edgeconv(conv_params, h, src, dst, n)
         src, dst = np_knn_edges(h[:, :3], k)
         skips.append(h)

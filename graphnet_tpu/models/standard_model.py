@@ -48,12 +48,32 @@ class StandardModel(nn.Module):
         outputs: List[Tuple[Array, Array]],
         labels: Dict[str, Array],
         weights: Optional[Array] = None,
+        node_labels: Optional[Dict[str, Array]] = None,
+        mask: Optional[Array] = None,
     ) -> Array:
         losses = [
-            task.compute_loss(pred, reg, labels, weights=weights)
+            task.compute_loss(
+                pred,
+                reg,
+                labels,
+                weights=weights,
+                node_labels=node_labels,
+                mask=mask,
+            )
             for task, (pred, reg) in zip(self.tasks, outputs)
         ]
         return jnp.sum(jnp.stack(losses))
+
+    def loss_from_batch(
+        self, outputs: List[Tuple[Array, Array]], batch: EventBatch
+    ) -> Array:
+        """Loss with node-level truth routed from the batch."""
+        return self.loss(
+            outputs,
+            batch.labels,
+            node_labels=batch.node_labels,
+            mask=batch.mask,
+        )
 
     @property
     def target_labels(self) -> List[str]:

@@ -80,6 +80,11 @@ class Task(nn.Module):
     transform_inference: Optional[Callable] = None
     transform_support: Optional[Tuple[float, float]] = None
     loss_weight: Optional[str] = None
+    # node-level tasks operate on per-node latents [B, L, d] (backbone with
+    # skip_readout=True) and per-node truth from ``batch.node_labels``;
+    # the loss masks padded nodes (used e.g. for pulse cleaning, the
+    # reference's I3PulseCleanerModule use case)
+    node_level: bool = False
 
     # subclass contract (plain class attributes — deliberately unannotated so
     # flax does not turn them into dataclass fields, which would freeze the
@@ -143,9 +148,35 @@ class Task(nn.Module):
         reg: Array,
         labels: Dict[str, Array],
         weights: Optional[Array] = None,
+        node_labels: Optional[Dict[str, Array]] = None,
+        mask: Optional[Array] = None,
     ) -> Array:
         """Stack target label columns, transform, evaluate loss
-        (reference ``task.py:318-337``)."""
+        (reference ``task.py:318-337``).
+
+        Node-level tasks: ``pred`` is ``[B, L, d]``, targets come from
+        ``node_labels`` (``[B, L]``), and padded nodes are excluded via
+        zero weights with a valid-count-normalised mean.
+        """
+        if self.node_level:
+            assert node_labels is not None and mask is not None
+            cols = [
+                node_labels[label][..., None] for label in self.targets
+            ]
+            target = jnp.concatenate(cols, axis=-1)
+            target = self._transform_target_fn(target)
+            B, L, d = pred.shape
+            pred_flat = pred.reshape(B * L, d)
+            target_flat = target.reshape(B * L, -1)
+            w = mask.reshape(B * L).astype(pred.dtype)
+            assert self.loss_function is not None
+            elements = self.loss_function(
+                pred_flat, target_flat, return_elements=True
+            )
+            return (
+                jnp.sum(elements * w) / jnp.maximum(jnp.sum(w), 1.0)
+                + reg
+            )
         cols = []
         for label in self.targets:
             v = labels[label]

@@ -130,7 +130,7 @@ class Trainer(Logger):
 
         def loss_fn(params, batch: EventBatch):
             outputs = model.apply(params, batch)
-            return model.loss(outputs, batch.labels)
+            return model.loss_from_batch(outputs, batch)
 
         @jax.jit
         def train_step(params, opt_state, batch: EventBatch):

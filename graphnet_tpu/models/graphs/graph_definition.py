@@ -135,10 +135,13 @@ class GraphDefinition:
         lookup = self._geometry_table_lookup(
             input_features, input_feature_names
         )
-        g = self._detector.geometry_table.reset_index(drop=True)
-        inactive = g.loc[
-            ~g.index.isin(lookup), input_feature_names
-        ].to_numpy()
+        g = self._detector.geometry_table
+        inactive_mask = ~g.index.isin(lookup)
+        inactive = (
+            g.reset_index(drop=True)
+            .loc[inactive_mask, input_feature_names]
+            .to_numpy()
+        )
         return np.concatenate([input_features, inactive], axis=0)
 
     def _mask_sensors(

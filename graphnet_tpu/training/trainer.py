@@ -362,22 +362,55 @@ class Trainer(Logger):
         additional_attributes: Optional[List[str]] = None,
     ):
         """Predictions + requested truth attributes as a DataFrame
-        (reference ``easy_model.py:321-433``)."""
+        (reference ``easy_model.py:321-433``).
+
+        Node-level tasks (predictions ``[B, L, d]``) produce one row per
+        valid pulse, with event attributes repeated per pulse (reference
+        pulse-level broadcast, ``easy_model.py:372-395``).
+        """
         import pandas as pd
 
         additional_attributes = additional_attributes or []
-        preds = self.predict(loader)
-        data = np.concatenate(preds, axis=1)
+        if self._predict_fn is None:
+            self._make_steps()
         columns = self.model.prediction_labels
-        assert data.shape[1] == len(columns), (
-            f"prediction width {data.shape[1]} != labels {columns}"
-        )
+
+        rows: List[np.ndarray] = []
         attrs: Dict[str, List[np.ndarray]] = {
             a: [] for a in additional_attributes
         }
+        node_level = any(t.node_level for t in self.model.tasks)
         for batch in loader:
-            for a in additional_attributes:
-                attrs[a].append(np.asarray(batch.labels[a]))
+            sb = self._shard_batch(batch)
+            if self.state is None:
+                self.init(sb)
+            outs = [np.asarray(o) for o in self._predict_fn(
+                self.state.params, sb
+            )]
+            if node_level:
+                mask = np.asarray(batch.mask)
+                flat = [
+                    o[mask] if o.ndim == 3 else np.repeat(
+                        o, np.asarray(batch.n_pulses), axis=0
+                    )
+                    for o in outs
+                ]
+                rows.append(np.concatenate(flat, axis=1))
+                reps = np.asarray(batch.n_pulses)
+                for a in additional_attributes:
+                    attrs[a].append(
+                        np.repeat(
+                            np.asarray(batch.labels[a]), reps, axis=0
+                        )
+                    )
+            else:
+                rows.append(np.concatenate(outs, axis=1))
+                for a in additional_attributes:
+                    attrs[a].append(np.asarray(batch.labels[a]))
+        data = np.concatenate(rows, axis=0)
+        assert data.shape[1] == len(columns), (
+            f"prediction width {data.shape[1]} != labels {columns}"
+        )
         df = pd.DataFrame(data, columns=columns)
         for a in additional_attributes:
             df[a] = np.concatenate(attrs[a], axis=0)

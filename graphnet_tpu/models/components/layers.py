@@ -105,6 +105,21 @@ class EdgeConv(nn.Module):
     tito: bool = False
     dtype: Optional[jnp.dtype] = None
 
+    def _use_fused(self, L: int) -> bool:
+        """The fused Pallas kernel covers the 2-layer relu/add/no-norm
+        configuration (DynEdge's) on TPU, within VMEM limits."""
+        if (
+            len(self.nn_sizes) != 2
+            or self.aggr != "add"
+            or self.activation != "relu"
+            or self.add_norm_layer
+        ):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        max_l = 2048 if self.dtype == jnp.bfloat16 else 1024
+        return L >= 8 and L <= max_l and L % min(L, 128) == 0
+
     @nn.compact
     def __call__(
         self, x: jax.Array, idx: jax.Array, edge_mask: jax.Array
@@ -117,6 +132,44 @@ class EdgeConv(nn.Module):
         b = nn.Dense(
             h0, use_bias=False, dtype=self.dtype, name="nbr_dense"
         )(x)
+
+        if len(self.nn_sizes) == 2 and not self.add_norm_layer:
+            # own the second layer's params so both the fused kernel and
+            # the XLA path share them
+            h2 = self.nn_sizes[1]
+            w2 = self.param(
+                "out_kernel",
+                nn.initializers.lecun_normal(),
+                (h0, h2),
+            )
+            b2 = self.param("out_bias", nn.initializers.zeros, (h2,))
+            if self.dtype is not None:
+                w2c = w2.astype(self.dtype)
+                b2c = b2.astype(self.dtype)
+            else:
+                w2c, b2c = w2, b2
+            if self._use_fused(x.shape[1]):
+                from graphnet_tpu.ops.edgeconv_pallas import (
+                    fused_edgeconv,
+                )
+
+                return fused_edgeconv(
+                    a, b, idx, edge_mask, w2c, b2c, 128
+                )
+            msgs = act(a[:, :, None, :] + gather_neighbors(b, idx))
+            msgs = act(
+                jnp.einsum(
+                    "blkh,ho->blko", msgs, w2c,
+                    preferred_element_type=(
+                        self.dtype or jnp.float32
+                    ),
+                )
+                + b2c
+            )
+            return edge_reduce(
+                msgs.astype(jnp.float32), edge_mask, self.aggr
+            )
+
         msgs = a[:, :, None, :] + gather_neighbors(b, idx)
         if self.add_norm_layer:
             msgs = nn.LayerNorm(

@@ -1,0 +1,289 @@
+"""Fused Pallas EdgeConv kernel.
+
+Computes ``out[i] = sum_k mask[i,k] * relu(relu(a[i] + b[idx[i,k]]) @ W2 + b2)``
+— the per-edge half of a linearised EdgeConv layer (see
+``graphnet_tpu.models.components.layers.EdgeConv``) — without ever
+materialising the ``[B, L, k, H1]`` message tensor in HBM:
+
+  * the neighbour gather is a one-hot matmul ``[TL*K, L] @ [L, H1]`` on the
+    MXU (a gather the MXU can do at full speed);
+  * messages live in VMEM only; the second linear layer and the masked
+    sum-reduction happen in-register;
+  * the backward pass recomputes messages (rematerialisation) and uses the
+    transposed one-hot matmul as the scatter-add for ``d_b``.  TPU grids
+    execute sequentially per core, so grid-accumulated outputs (dW2, db2,
+    d_b) are race-free.
+
+Supports the "add" aggregation (DynEdge's configuration,
+reference ``gnn/dynedge.py:209``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(
+    a_ref, b_ref, idx_ref, em_ref, w2_ref, b2_ref, out_ref, *, tl, k
+):
+    """Grid (B, L//TL).
+
+    a_ref:  [1, TL, H1] self-term (pre-activation, incl. bias)
+    b_ref:  [1, L, H1]  neighbour-term for the whole event
+    idx_ref:[1, TL, k]  neighbour indices
+    em_ref: [1, TL, k]  edge mask (float 0/1)
+    w2_ref: [H1, H2]    second-layer weights
+    b2_ref: [1, H2]     second-layer bias
+    out_ref:[1, TL, H2]
+    """
+    a = a_ref[0]  # [TL, H1]
+    b = b_ref[0]  # [L, H1]
+    idx = idx_ref[0]  # [TL, k]
+    em = em_ref[0]  # [TL, k]
+    L = b.shape[0]
+    H1 = a.shape[1]
+
+    idx_flat = idx.reshape(tl * k, 1)  # [TL*K, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tl * k, L), 1)
+    onehot = (cols == idx_flat).astype(b.dtype)  # [TL*K, L]
+    gathered = jnp.dot(
+        onehot, b, preferred_element_type=jnp.float32
+    )  # [TL*K, H1]
+    z = gathered.reshape(tl, k, H1) + a[:, None, :]
+    msgs = jnp.maximum(z, 0.0).reshape(tl * k, H1)
+    out = jnp.dot(
+        msgs.astype(w2_ref.dtype),
+        w2_ref[...],
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0][None, :]
+    # DynEdge applies the activation after every linear (dynedge.py:190-210)
+    out = jnp.maximum(out, 0.0)
+    H2 = out.shape[1]
+    out = out.reshape(tl, k, H2) * em[:, :, None]
+    out_ref[0] = jnp.sum(out, axis=1)
+
+
+def _bwd_kernel(
+    a_ref,
+    b_ref,
+    idx_ref,
+    em_ref,
+    w2_ref,
+    b2_ref,
+    g_ref,
+    da_ref,
+    db_ref,
+    dw2_ref,
+    db2_ref,
+    *,
+    tl,
+    k,
+):
+    """Grid (B, L//TL); db/dw2/db2 accumulate across grid steps."""
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    bi = pl.program_id(0)
+    a = a_ref[0]
+    b = b_ref[0]
+    idx = idx_ref[0]
+    em = em_ref[0]
+    g = g_ref[0]  # [TL, H2]
+    L = b.shape[0]
+    H1 = a.shape[1]
+    H2 = g.shape[1]
+
+    # zero accumulators at the start of their accumulation scope
+    @pl.when(t == 0)
+    def _():
+        db_ref[0] = jnp.zeros_like(db_ref[0])
+
+    @pl.when(jnp.logical_and(bi == 0, t == 0))
+    def _():
+        dw2_ref[...] = jnp.zeros_like(dw2_ref[...])
+        db2_ref[...] = jnp.zeros_like(db2_ref[...])
+
+    idx_flat = idx.reshape(tl * k, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tl * k, L), 1)
+    onehot = (cols == idx_flat).astype(b.dtype)
+    gathered = jnp.dot(onehot, b, preferred_element_type=jnp.float32)
+    z = gathered.reshape(tl, k, H1) + a[:, None, :]
+    relu_mask = (z > 0.0).astype(jnp.float32)
+    msgs = (jnp.maximum(z, 0.0)).reshape(tl * k, H1)
+
+    # recompute second-layer pre-activation (incl. bias) to gate grads
+    # through the final relu, matching the forward exactly
+    pre2 = jnp.dot(
+        msgs.astype(w2_ref.dtype),
+        w2_ref[...],
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0][None, :]
+    gate2 = (pre2 > 0.0).astype(jnp.float32)
+    g_msgs = (
+        (g[:, None, :] * em[:, :, None]).reshape(tl * k, H2) * gate2
+    )
+
+    dw2_ref[...] += jnp.dot(
+        msgs.T.astype(jnp.float32),
+        g_msgs,
+        preferred_element_type=jnp.float32,
+    ).astype(dw2_ref.dtype)
+    db2_ref[...] += jnp.sum(g_msgs, axis=0, keepdims=True).astype(
+        db2_ref.dtype
+    )
+
+    g_z = jnp.dot(
+        g_msgs,
+        w2_ref[...].T.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(tl, k, H1) * relu_mask
+    da_ref[0] = jnp.sum(g_z, axis=1)
+    db_ref[0] += jnp.dot(
+        onehot.T,
+        g_z.reshape(tl * k, H1),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _edgeconv_fwd_impl(a, b, idx, edge_mask, w2, b2, *, tile):
+    B, L, H1 = a.shape
+    H2 = w2.shape[1]
+    k = idx.shape[2]
+    tl = min(tile, L)
+    assert L % tl == 0
+    em = edge_mask.astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, tl=tl, k=k),
+        grid=(B, L // tl),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tl, H1), lambda bi, t: (bi, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, L, H1), lambda bi, t: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tl, k), lambda bi, t: (bi, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tl, k), lambda bi, t: (bi, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (H1, H2), lambda bi, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, H2), lambda bi, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tl, H2), lambda bi, t: (bi, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, L, H2), jnp.float32),
+    )(a, b, idx, em, w2, b2.reshape(1, -1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_edgeconv(a, b, idx, edge_mask, w2, b2, tile=128):
+    """``sum_k em[i,k] relu(a[i] + b[idx[i,k]]) @ w2 + b2`` per node.
+
+    a: [B, L, H1]; b: [B, L, H1]; idx: [B, L, k]; edge_mask: [B, L, k];
+    w2: [H1, H2]; b2: [H2].  Returns [B, L, H2] (fp32).
+    """
+    return _edgeconv_fwd_impl(
+        a, b, idx, edge_mask, w2, b2, tile=tile
+    )
+
+
+def _fused_fwd(a, b, idx, edge_mask, w2, b2, tile):
+    out = _edgeconv_fwd_impl(a, b, idx, edge_mask, w2, b2, tile=tile)
+    return out, (a, b, idx, edge_mask, w2, b2)
+
+
+def _fused_bwd(tile, res, g):
+    a, b, idx, edge_mask, w2, b2 = res
+    B, L, H1 = a.shape
+    H2 = w2.shape[1]
+    k = idx.shape[2]
+    tl = min(tile, L)
+    em = edge_mask.astype(jnp.float32)
+    da, db, dw2, db2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, tl=tl, k=k),
+        grid=(B, L // tl),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tl, H1), lambda bi, t: (bi, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, L, H1), lambda bi, t: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tl, k), lambda bi, t: (bi, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tl, k), lambda bi, t: (bi, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (H1, H2), lambda bi, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, H2), lambda bi, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tl, H2), lambda bi, t: (bi, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tl, H1), lambda bi, t: (bi, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, L, H1), lambda bi, t: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (H1, H2), lambda bi, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, H2), lambda bi, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, H1), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, H1), jnp.float32),
+            jax.ShapeDtypeStruct((H1, H2), jnp.float32),
+            jax.ShapeDtypeStruct((1, H2), jnp.float32),
+        ],
+    )(a, b, idx, em, w2, b2.reshape(1, -1), g.astype(jnp.float32))
+    return (
+        da,
+        db,
+        None,
+        None,
+        dw2.astype(w2.dtype),
+        db2.reshape(-1),
+    )
+
+
+fused_edgeconv.defvjp(_fused_fwd, _fused_bwd)

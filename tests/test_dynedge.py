@@ -112,7 +112,7 @@ def test_param_shapes_match_reference_architecture():
     k0a = params["conv_0"]["conv"]["self_dense"]["kernel"]
     k0b = params["conv_0"]["conv"]["nbr_dense"]["kernel"]
     assert k0a.shape == (7 + 12, 128) and k0b.shape == (7 + 12, 128)
-    k1 = params["conv_0"]["conv"]["nn"]["dense_0"]["kernel"]
+    k1 = params["conv_0"]["conv"]["out_kernel"]
     assert k1.shape == (128, 256)
     # conv_1 first layer: 256 -> 336
     assert params["conv_1"]["conv"]["self_dense"]["kernel"].shape == (

@@ -58,7 +58,13 @@ def np_edgeconv(params, x, src, dst, n):
     Wb = np.asarray(params["nbr_dense"]["kernel"])
     x_i, x_j = x[dst], x[src]
     msgs = np.maximum(x_i @ Wa + ba + x_j @ Wb, 0)
-    if "nn" in params:
+    if "out_kernel" in params:
+        msgs = np.maximum(
+            msgs @ np.asarray(params["out_kernel"])
+            + np.asarray(params["out_bias"]),
+            0,
+        )
+    elif "nn" in params:
         msgs = np_mlp(params["nn"], msgs)
     out = np.zeros((n, msgs.shape[1]), np.float32)
     np.add.at(out, dst, msgs)

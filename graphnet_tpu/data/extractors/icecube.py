@@ -164,6 +164,132 @@ class I3FeatureExtractorIceCubeUpgrade(I3FeatureExtractorIceCube86):
         return output
 
 
+class I3FrameObjectExtractor(I3Extractor):
+    """Copy scalar members of a named frame object into columns — the
+    shared pattern behind the reference's Retro/SplineMPE/TUM/PISA/QUESO
+    extractors (``i3retroextractor.py:15``, ``i3splinempeextractor.py:11``,
+    ``i3tumextractor.py:11``, ``i3pisaextractor.py:11``,
+    ``i3quesoextractor.py:11``)."""
+
+    def __init__(
+        self,
+        frame_key: str,
+        members: Dict[str, str],
+        extractor_name: Optional[str] = None,
+        padding_value: float = -1.0,
+    ):
+        """Args:
+        frame_key: name of the object in the physics frame.
+        members: ``{output column: attribute path}``, where the path may be
+            dotted (e.g. ``"pos.x"``, ``"dir.zenith"``).
+        """
+        super().__init__(extractor_name=extractor_name or frame_key)
+        self._frame_key = frame_key
+        self._members = members
+        self._padding_value = padding_value
+
+    def __call__(self, frame) -> Dict[str, float]:
+        out = {k: self._padding_value for k in self._members}
+        if self._frame_key not in frame:
+            return out
+        obj = frame[self._frame_key]
+        for col, path in self._members.items():
+            value = obj
+            try:
+                for attr in path.split("."):
+                    value = getattr(value, attr)
+                out[col] = float(value)
+            except (AttributeError, TypeError, ValueError):
+                pass
+        return out
+
+
+class I3RetroExtractor(I3FrameObjectExtractor):
+    """RetroReco fit results (reference ``i3retroextractor.py``)."""
+
+    def __init__(self, frame_key: str = "retro_crs_prefit__median__neutrino"):
+        super().__init__(
+            frame_key=frame_key,
+            members={
+                "azimuth_retro": "dir.azimuth",
+                "zenith_retro": "dir.zenith",
+                "energy_retro": "energy",
+                "position_x_retro": "pos.x",
+                "position_y_retro": "pos.y",
+                "position_z_retro": "pos.z",
+                "time_retro": "time",
+            },
+            extractor_name="retro",
+        )
+
+
+class I3SplineMPEICExtractor(I3FrameObjectExtractor):
+    """SplineMPE direction fit (reference ``i3splinempeextractor.py``)."""
+
+    def __init__(self, frame_key: str = "SplineMPEIC"):
+        super().__init__(
+            frame_key=frame_key,
+            members={
+                "zenith_spline_mpe_ic": "dir.zenith",
+                "azimuth_spline_mpe_ic": "dir.azimuth",
+            },
+            extractor_name="spline_mpe_ic",
+        )
+
+
+class I3TUMExtractor(I3FrameObjectExtractor):
+    """TUM DNN reco outputs (reference ``i3tumextractor.py``)."""
+
+    def __init__(self):
+        super().__init__(
+            frame_key="TUM_dnn_energy_hive",
+            members={"tum_dnn_energy_hive": "value"},
+            extractor_name="tum",
+        )
+
+
+class I3ParticleExtractor(I3FrameObjectExtractor):
+    """Any I3Particle reco output (reference ``i3particleextractor.py``)."""
+
+    def __init__(self, extractor_name: str):
+        super().__init__(
+            frame_key=extractor_name,
+            members={
+                f"zenith_{extractor_name}": "dir.zenith",
+                f"azimuth_{extractor_name}": "dir.azimuth",
+                f"energy_{extractor_name}": "energy",
+                f"pos_x_{extractor_name}": "pos.x",
+                f"pos_y_{extractor_name}": "pos.y",
+                f"pos_z_{extractor_name}": "pos.z",
+                f"time_{extractor_name}": "time",
+                f"speed_{extractor_name}": "speed",
+                f"length_{extractor_name}": "length",
+            },
+            extractor_name=extractor_name,
+        )
+
+
+class I3QUESOExtractor(I3Extractor):
+    """QUESO event-selection booleans (reference ``i3quesoextractor.py``)."""
+
+    def __init__(
+        self,
+        keys: Optional[List[str]] = None,
+        extractor_name: str = "queso",
+    ):
+        super().__init__(extractor_name=extractor_name)
+        self._keys = keys or ["QuesoL3_Bool", "QuesoL4_Bool", "QuesoL5_Bool"]
+
+    def __call__(self, frame) -> Dict[str, float]:
+        out = {}
+        for key in self._keys:
+            try:
+                out[key] = float(frame[key].value)
+            except KeyError:
+                out[key] = -1.0
+        return out
+
+
 class I3TruthExtractor(I3Extractor):
     """Per-event MC truth: energy, direction, vertex, pid, interaction
     type (reference ``i3truthextractor.py:22-440``, core paths)."""

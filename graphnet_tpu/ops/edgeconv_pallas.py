@@ -49,9 +49,11 @@ def _fwd_kernel(
     L = b.shape[0]
     H1 = a.shape[1]
 
-    idx_flat = idx.reshape(tl * k, 1)  # [TL*K, 1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tl * k, L), 1)
-    onehot = (cols == idx_flat).astype(b.dtype)  # [TL*K, L]
+    # one-hot built in 3D then flattened along leading dims only (Mosaic
+    # allows reshapes that keep the lane dimension)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tl, k, L), 2)
+    onehot = (cols == idx[:, :, None]).astype(b.dtype)
+    onehot = onehot.reshape(tl * k, L)  # lane dim L unchanged
     gathered = jnp.dot(
         onehot, b, preferred_element_type=jnp.float32
     )  # [TL*K, H1]
@@ -108,9 +110,9 @@ def _bwd_kernel(
         dw2_ref[...] = jnp.zeros_like(dw2_ref[...])
         db2_ref[...] = jnp.zeros_like(db2_ref[...])
 
-    idx_flat = idx.reshape(tl * k, 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tl * k, L), 1)
-    onehot = (cols == idx_flat).astype(b.dtype)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tl, k, L), 2)
+    onehot = (cols == idx[:, :, None]).astype(b.dtype)
+    onehot = onehot.reshape(tl * k, L)
     gathered = jnp.dot(onehot, b, preferred_element_type=jnp.float32)
     z = gathered.reshape(tl, k, H1) + a[:, None, :]
     relu_mask = (z > 0.0).astype(jnp.float32)

@@ -266,3 +266,29 @@ def load_model(path: str) -> Any:
     if not CLASS_REGISTRY:
         _register_framework_classes()
     return build(ModelConfig.load(path))
+
+
+def save_model(model: Any, params: Any, directory: str) -> None:
+    """Save a model as config.yml + state_dict.pkl in ``directory`` — the
+    version-safe persistence pattern of the reference
+    (``examples/04_training/01_train_dynedge.py:172-180``)."""
+    import os
+    import pickle
+
+    import jax
+
+    os.makedirs(directory, exist_ok=True)
+    save_model_config(model, os.path.join(directory, "config.yml"))
+    with open(os.path.join(directory, "state_dict.pkl"), "wb") as f:
+        pickle.dump(jax.device_get(params), f)
+
+
+def load_saved_model(directory: str):
+    """Load (model, params) saved by :func:`save_model`."""
+    import os
+    import pickle
+
+    model = load_model(os.path.join(directory, "config.yml"))
+    with open(os.path.join(directory, "state_dict.pkl"), "rb") as f:
+        params = pickle.load(f)
+    return model, params

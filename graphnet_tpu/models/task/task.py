@@ -179,6 +179,12 @@ class Task(nn.Module):
             )
         cols = []
         for label in self.targets:
+            if label not in labels:
+                raise KeyError(
+                    f"Target label {label!r} not found in batch labels; "
+                    f"available: {sorted(labels)}. Check the task's "
+                    "target_labels against the dataset's truth columns."
+                )
             v = labels[label]
             cols.append(v if v.ndim > 1 else v[:, None])
         target = jnp.concatenate(cols, axis=1)

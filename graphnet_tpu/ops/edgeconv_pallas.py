@@ -5,14 +5,18 @@ Computes ``out[i] = sum_k mask[i,k] * relu(relu(a[i] + b[idx[i,k]]) @ W2 + b2)``
 ``graphnet_tpu.models.components.layers.EdgeConv``) — without ever
 materialising the ``[B, L, k, H1]`` message tensor in HBM:
 
-  * the neighbour gather is a one-hot matmul ``[TL*K, L] @ [L, H1]`` on the
-    MXU (a gather the MXU can do at full speed);
+  * gather AND self-term addition are one selection matmul on the MXU:
+    rows of a ``[TL*K, L+TL]`` 0/1 matrix select the neighbour row of
+    ``b`` (first L columns) and the node's own row of ``a`` (last TL
+    columns), so ``sel @ [b; a] = b[idx] + a`` in a single contraction —
+    no 3D broadcasts (which Mosaic restricts under bf16 tiling);
   * messages live in VMEM only; the second linear layer and the masked
     sum-reduction happen in-register;
-  * the backward pass recomputes messages (rematerialisation) and uses the
-    transposed one-hot matmul as the scatter-add for ``d_b``.  TPU grids
-    execute sequentially per core, so grid-accumulated outputs (dW2, db2,
-    d_b) are race-free.
+  * the backward pass recomputes messages (rematerialisation); the
+    *transposed* selection matmul yields both gradients at once:
+    ``sel^T @ g_z = [d_b (scatter-add); d_a]``.  TPU grids execute
+    sequentially per core, so grid-accumulated outputs (dW2, db2, d_b)
+    are race-free.
 
 Supports the "add" aggregation (DynEdge's configuration,
 reference ``gnn/dynedge.py:209``).
@@ -21,12 +25,21 @@ reference ``gnn/dynedge.py:209``).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _selection_matrix(idx, tl, k, L, dtype):
+    """[TL*K, L+TL] 0/1: row i*k+kk selects b[idx[i,kk]] and a[i]."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (tl, k, L + tl), 2)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (tl, k, L + tl), 0)
+    sel = (col == idx[:, :, None]) | (col == L + row_i)
+    # merging leading dims keeps the lane dimension -> Mosaic-legal
+    return sel.astype(dtype).reshape(tl * k, L + tl)
 
 
 def _fwd_kernel(
@@ -47,18 +60,13 @@ def _fwd_kernel(
     idx = idx_ref[0]  # [TL, k]
     em = em_ref[0]  # [TL, k]
     L = b.shape[0]
-    H1 = a.shape[1]
 
-    # one-hot built in 3D then flattened along leading dims only (Mosaic
-    # allows reshapes that keep the lane dimension)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tl, k, L), 2)
-    onehot = (cols == idx[:, :, None]).astype(b.dtype)
-    onehot = onehot.reshape(tl * k, L)  # lane dim L unchanged
-    gathered = jnp.dot(
-        onehot, b, preferred_element_type=jnp.float32
-    )  # [TL*K, H1]
-    z = gathered.reshape(tl, k, H1) + a[:, None, :]
-    msgs = jnp.maximum(z, 0.0).reshape(tl * k, H1)
+    sel = _selection_matrix(idx, tl, k, L, b.dtype)
+    ba = jnp.concatenate([b, a], axis=0)  # [L+TL, H1]
+    z = jnp.dot(
+        sel, ba, preferred_element_type=jnp.float32
+    )  # [TL*K, H1] = b[idx] + a
+    msgs = jnp.maximum(z, 0.0)
     out = jnp.dot(
         msgs.astype(w2_ref.dtype),
         w2_ref[...],
@@ -89,7 +97,6 @@ def _bwd_kernel(
 ):
     """Grid (B, L//TL); db/dw2/db2 accumulate across grid steps."""
     t = pl.program_id(1)
-    n_t = pl.num_programs(1)
     bi = pl.program_id(0)
     a = a_ref[0]
     b = b_ref[0]
@@ -97,7 +104,6 @@ def _bwd_kernel(
     em = em_ref[0]
     g = g_ref[0]  # [TL, H2]
     L = b.shape[0]
-    H1 = a.shape[1]
     H2 = g.shape[1]
 
     # zero accumulators at the start of their accumulation scope
@@ -110,13 +116,10 @@ def _bwd_kernel(
         dw2_ref[...] = jnp.zeros_like(dw2_ref[...])
         db2_ref[...] = jnp.zeros_like(db2_ref[...])
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tl, k, L), 2)
-    onehot = (cols == idx[:, :, None]).astype(b.dtype)
-    onehot = onehot.reshape(tl * k, L)
-    gathered = jnp.dot(onehot, b, preferred_element_type=jnp.float32)
-    z = gathered.reshape(tl, k, H1) + a[:, None, :]
-    relu_mask = (z > 0.0).astype(jnp.float32)
-    msgs = (jnp.maximum(z, 0.0)).reshape(tl * k, H1)
+    sel = _selection_matrix(idx, tl, k, L, b.dtype)
+    ba = jnp.concatenate([b, a], axis=0)
+    z = jnp.dot(sel, ba, preferred_element_type=jnp.float32)
+    msgs = jnp.maximum(z, 0.0)
 
     # recompute second-layer pre-activation (incl. bias) to gate grads
     # through the final relu, matching the forward exactly
@@ -130,9 +133,10 @@ def _bwd_kernel(
         (g[:, None, :] * em[:, :, None]).reshape(tl * k, H2) * gate2
     )
 
-    dw2_ref[...] += jnp.dot(
-        msgs.T.astype(jnp.float32),
+    dw2_ref[...] += jax.lax.dot_general(
+        msgs,
         g_msgs,
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dw2_ref.dtype)
     db2_ref[...] += jnp.sum(g_msgs, axis=0, keepdims=True).astype(
@@ -143,13 +147,17 @@ def _bwd_kernel(
         g_msgs,
         w2_ref[...].T.astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    ).reshape(tl, k, H1) * relu_mask
-    da_ref[0] = jnp.sum(g_z, axis=1)
-    db_ref[0] += jnp.dot(
-        onehot.T,
-        g_z.reshape(tl * k, H1),
+    ) * (z > 0.0).astype(jnp.float32)
+    # transposed selection matmul: rows 0..L-1 scatter-add into d_b,
+    # rows L..L+TL-1 are d_a for this tile
+    contrib = jax.lax.dot_general(
+        sel.astype(jnp.float32),
+        g_z,
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # [L+TL, H1]
+    db_ref[0] += contrib[:L]
+    da_ref[0] = contrib[L:]
 
 
 def _edgeconv_fwd_impl(a, b, idx, edge_mask, w2, b2, *, tile):
@@ -198,7 +206,7 @@ def _edgeconv_fwd_impl(a, b, idx, edge_mask, w2, b2, *, tile):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def fused_edgeconv(a, b, idx, edge_mask, w2, b2, tile=128):
-    """``sum_k em[i,k] relu(a[i] + b[idx[i,k]]) @ w2 + b2`` per node.
+    """``sum_k em[i,k] relu(relu(a[i] + b[idx[i,k]]) @ w2 + b2)`` per node.
 
     a: [B, L, H1]; b: [B, L, H1]; idx: [B, L, k]; edge_mask: [B, L, k];
     w2: [H1, H2]; b2: [H2].  Returns [B, L, H2] (fp32).

@@ -41,14 +41,22 @@ def collate_events(
     max_n = max(e.n_pulses for e in events)
     L = length if length is not None else bucket_for_length(max_n, buckets)
     B = len(events)
-    x = np.zeros((B, L, d), dtype=np.float32)
-    mask = np.zeros((B, L), dtype=bool)
-    n_pulses = np.zeros((B,), dtype=np.int32)
-    for i, e in enumerate(events):
-        n = min(e.n_pulses, L)
-        x[i, :n] = e.x[:n]
-        mask[i, :n] = True
-        n_pulses[i] = n
+
+    # native C++ fast path for the padding memcpy loop (graphnet_tpu.native)
+    from graphnet_tpu.native import native_pad_events
+
+    native = native_pad_events([e.x for e in events], L)
+    if native is not None:
+        x, mask, n_pulses = native
+    else:
+        x = np.zeros((B, L, d), dtype=np.float32)
+        mask = np.zeros((B, L), dtype=bool)
+        n_pulses = np.zeros((B,), dtype=np.int32)
+        for i, e in enumerate(events):
+            n = min(e.n_pulses, L)
+            x[i, :n] = e.x[:n]
+            mask[i, :n] = True
+            n_pulses[i] = n
 
     # labels common to every event, numeric only
     keys = set(events[0].labels)

@@ -14,6 +14,7 @@ EXAMPLES_DIR = os.path.join(
 SCRIPTS = sorted(glob(os.path.join(EXAMPLES_DIR, "*", "*.py")))
 TRAIN_ARGS = {
     "01_train_dynedge.py": ["--max-epochs", "1", "--batch-size", "16"],
+    "03_train_deepice.py": ["--max-epochs", "1", "--batch-size", "8"],
     "02_train_tito_direction.py": [
         "--max-epochs",
         "1",

@@ -28,15 +28,27 @@ class StandardModel(nn.Module):
 
     ``__call__`` returns per-task ``(prediction, regularisation)`` pairs;
     ``loss`` sums per-task losses (reference ``standard_model.py:71-109``).
+
+    ``edge_definition``: optional edge rule (e.g. ``MinkowskiKNNEdges``)
+    evaluated on device before the backbone — the device-side half of the
+    GraphDefinition (whose host half builds nodes).  When None, backbones
+    build their default kNN graph themselves (equivalent to the KNNGraph
+    preset).
     """
 
     backbone: GNN
     tasks: Tuple[Task, ...]
+    edge_definition: Optional[object] = None
 
     @nn.compact
     def __call__(
         self, batch: EventBatch, inference: bool = False
     ) -> List[Tuple[Array, Array]]:
+        if self.edge_definition is not None and batch.edges is None:
+            idx, edge_mask = self.edge_definition.build(
+                batch.x, batch.mask
+            )
+            batch = batch.replace(edges=idx, edge_mask=edge_mask)
         latents = self.backbone(batch)
         return [
             task(latents, inference=inference)

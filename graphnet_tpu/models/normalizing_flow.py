@@ -114,7 +114,9 @@ class NormalizingFlow(nn.Module):
         base_logp = -0.5 * (x * x + _LOG_2PI)
         return -jnp.sum(base_logp + logdet, axis=1)
 
-    def __call__(self, batch: EventBatch) -> Array:
+    def __call__(
+        self, batch: EventBatch, inference: bool = False
+    ) -> Array:
         latents = self._conditioning(batch)
         params = self._flow_params(latents)
         cols = []
@@ -126,6 +128,21 @@ class NormalizingFlow(nn.Module):
 
     def loss(self, nllh: Array) -> Array:
         return jnp.mean(nllh)
+
+    # --- Trainer contract (same as StandardModel) ----------------------
+    def loss_from_batch(self, outputs: Array, batch: EventBatch) -> Array:
+        """Mean NLLH — lets ``Trainer.fit`` train flows directly
+        (reference trains flows through the same fit loop via
+        StandardFlowTask, ``task.py:388-470``)."""
+        return jnp.mean(outputs)
+
+    @property
+    def prediction_labels(self):
+        return [f"{t}_nllh" for t in self.target_labels]
+
+    @property
+    def tasks(self):
+        return ()
 
     def _log_prob(self, batch: EventBatch, y: Array) -> Array:
         latents = self._conditioning(batch)

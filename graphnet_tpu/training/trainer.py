@@ -148,6 +148,12 @@ class Trainer(Logger):
         @jax.jit
         def predict_step(params, batch: EventBatch):
             outputs = model.apply(params, batch, inference=True)
+            if not isinstance(outputs, (list, tuple)):
+                # models with a single array output (e.g. NormalizingFlow
+                # returning per-event NLLH)
+                return [
+                    outputs if outputs.ndim > 1 else outputs[:, None]
+                ]
             return [pred for pred, _reg in outputs]
 
         self._train_step_fn = train_step

@@ -103,3 +103,44 @@ def test_training_reduces_nllh():
         if first is None:
             first = float(loss)
     assert float(loss) < first
+
+
+def test_flow_trains_via_trainer():
+    """NormalizingFlow conforms to the Trainer contract."""
+    import os
+
+    import pytest as _pytest
+
+    from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+
+    if not os.path.exists(EXAMPLE_SQLITE_DATA):
+        _pytest.skip("example data not present")
+
+    from graphnet_tpu.data.constants import FEATURES, TRUTH
+    from graphnet_tpu.data.dataloader import DataLoader
+    from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
+    from graphnet_tpu.models.detector.prometheus import Prometheus
+    from graphnet_tpu.models.graphs import KNNGraph
+    from graphnet_tpu.training.trainer import Trainer
+
+    ds = SQLiteDataset(
+        path=EXAMPLE_SQLITE_DATA,
+        graph_definition=KNNGraph(detector=Prometheus()),
+        pulsemaps="total",
+        features=FEATURES.PROMETHEUS,
+        truth=TRUTH.PROMETHEUS,
+        truth_table="mc_truth",
+    )
+    flow = NormalizingFlow(
+        backbone=DynEdge(nb_inputs=4),
+        target_labels=("injection_zenith",),
+    )
+    loader = DataLoader(ds, batch_size=16, shuffle=True, seed=0)
+    trainer = Trainer(flow, learning_rate=1e-4)
+    history = trainer.fit(
+        loader, max_epochs=2, use_default_schedule=False
+    )
+    assert np.isfinite(history["train_loss"]).all()
+    df = trainer.predict_as_dataframe(loader)
+    assert "injection_zenith_nllh" in df.columns
+    assert np.isfinite(df["injection_zenith_nllh"].to_numpy()).all()

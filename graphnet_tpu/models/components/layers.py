@@ -267,6 +267,10 @@ class MultiHeadAttention(nn.Module):
                 key_padding_mask[:, None, None, :], logits, neg
             )
         attn = jax.nn.softmax(logits, axis=-1)
+        if self.dtype is not None:
+            # softmax stays fp32 for accuracy; cast the weights back so the
+            # value matmul runs at the compute dtype (bf16 MXU path)
+            attn = attn.astype(self.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
         return nn.Dense(D, dtype=self.dtype, name="out")(out)
@@ -284,6 +288,7 @@ class TransformerEncoderLayer(nn.Module):
     dim_feedforward: int = 2048
     activation: str = "relu"
     norm_first: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -293,19 +298,23 @@ class TransformerEncoderLayer(nn.Module):
         D = x.shape[-1]
         if self.norm_first:
             h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-            x = x + MultiHeadAttention(self.num_heads, name="mha")(
-                h, key_padding_mask
-            )
+            x = x + MultiHeadAttention(
+                self.num_heads, dtype=self.dtype, name="mha"
+            )(h, key_padding_mask)
             h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-            h = nn.Dense(self.dim_feedforward, name="linear1")(h)
-            h = nn.Dense(D, name="linear2")(act(h))
+            h = nn.Dense(
+                self.dim_feedforward, dtype=self.dtype, name="linear1"
+            )(h)
+            h = nn.Dense(D, dtype=self.dtype, name="linear2")(act(h))
             return x + h
-        h = MultiHeadAttention(self.num_heads, name="mha")(
-            x, key_padding_mask
-        )
+        h = MultiHeadAttention(
+            self.num_heads, dtype=self.dtype, name="mha"
+        )(x, key_padding_mask)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + h)
-        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
-        h = nn.Dense(D, name="linear2")(act(h))
+        h = nn.Dense(
+            self.dim_feedforward, dtype=self.dtype, name="linear1"
+        )(x)
+        h = nn.Dense(D, dtype=self.dtype, name="linear2")(act(h))
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
 
@@ -321,6 +330,7 @@ class DynTrans(nn.Module):
     layer_sizes: Sequence[int] = (256, 256, 256)
     aggr: str = "max"
     n_head: int = 8
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -336,6 +346,7 @@ class DynTrans(nn.Module):
             aggr=self.aggr,
             activation="leaky_relu",
             tito=True,
+            dtype=self.dtype,
             name="conv",
         )(x, idx, edge_mask)
         if x_out.shape[-1] == x.shape[-1]:
@@ -343,10 +354,10 @@ class DynTrans(nn.Module):
         else:
             x = x_out
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        x = TransformerEncoderLayer(self.n_head, name="transformer")(
-            x, key_padding_mask=mask
-        )
-        return x
+        x = TransformerEncoderLayer(
+            self.n_head, dtype=self.dtype, name="transformer"
+        )(x, key_padding_mask=mask)
+        return x.astype(jnp.float32)
 
 
 class DropPath(nn.Module):

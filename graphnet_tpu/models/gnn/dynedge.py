@@ -117,9 +117,7 @@ class DynEdge(GNN):
                 axis=-1,
             )
 
-        cdtype = (
-            jnp.dtype(self.compute_dtype) if self.compute_dtype else None
-        )
+        cdtype = self._resolved_compute_dtype()
         skip_connections = [x]
         for i, sizes in enumerate(self.dynedge_layer_sizes):
             x, idx, edge_mask = DynEdgeConv(

@@ -43,6 +43,8 @@ class DynEdgeTITO(GNN):
     readout_layer_sizes: Tuple[int, ...] = (256, 128)
     n_head: int = 8
     nb_neighbours: int = 8
+    # bf16 compute for conv/transformer matmuls (params stay fp32)
+    compute_dtype: Optional[str] = None
 
     @property
     def nb_outputs(self) -> int:
@@ -56,9 +58,12 @@ class DynEdgeTITO(GNN):
             idx, edge_mask = batch.edges, batch.edge_mask
         else:
             # fallback when the graph definition supplied no edges: kNN on
-            # xyz, matching the KNNGraph preset the reference pairs with TITO
+            # the configured metric columns (reference pairs TITO with a
+            # KNNGraph built on features_subset, dynedge_kaggle_tito.py:146)
             idx, edge_mask = knn_graph(
-                x[..., :3], mask, k=self.nb_neighbours
+                x[..., list(self.features_subset)],
+                mask,
+                k=self.nb_neighbours,
             )
 
         if self.use_global_features:
@@ -74,12 +79,14 @@ class DynEdgeTITO(GNN):
                 [means] + homs + [logn], axis=-1
             )
 
+        cdtype = self._resolved_compute_dtype()
         latent_dim = x.shape[-1]
         for i, sizes in enumerate(self.dyntrans_layer_sizes):
             x = DynTrans(
                 layer_sizes=(latent_dim,) + tuple(sizes),
                 aggr="max",
                 n_head=self.n_head,
+                dtype=cdtype,
                 name=f"conv_{i}",
             )(x, mask, idx, edge_mask)
             latent_dim = sizes[-1]

@@ -20,5 +20,13 @@ class GNN(nn.Module):
     def nb_outputs(self) -> int:  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def _resolved_compute_dtype(self):
+        """jnp dtype for matmul compute, from the backbone's optional
+        ``compute_dtype`` string field (None = fp32 throughout)."""
+        import jax.numpy as jnp
+
+        cd = getattr(self, "compute_dtype", None)
+        return jnp.dtype(cd) if cd else None
+
     def __call__(self, batch: EventBatch) -> jax.Array:  # pragma: no cover
         raise NotImplementedError

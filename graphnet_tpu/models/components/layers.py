@@ -106,12 +106,13 @@ class EdgeConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     def _use_fused(self, L: int) -> bool:
-        """The fused Pallas kernel covers the 2-layer relu/add/no-norm
-        configuration (DynEdge's) on TPU, within VMEM limits."""
+        """The fused Pallas kernel covers 2-layer (leaky-)relu add/max
+        configurations (DynEdge's and TITO's) on TPU, within VMEM
+        limits."""
         if (
             len(self.nn_sizes) != 2
-            or self.aggr != "add"
-            or self.activation != "relu"
+            or self.aggr not in ("add", "max")
+            or self.activation not in ("relu", "leaky_relu")
             or self.add_norm_layer
         ):
             return False
@@ -153,8 +154,10 @@ class EdgeConv(nn.Module):
                     fused_edgeconv,
                 )
 
+                slope = 0.01 if self.activation == "leaky_relu" else 0.0
                 return fused_edgeconv(
-                    a, b, idx, edge_mask, w2c, b2c, 128
+                    a, b, idx, edge_mask, w2c, b2c, 128,
+                    self.aggr, slope,
                 )
             msgs = act(a[:, :, None, :] + gather_neighbors(b, idx))
             msgs = act(

@@ -42,8 +42,13 @@ def _selection_matrix(idx, tl, k, L, dtype):
     return sel.astype(dtype).reshape(tl * k, L + tl)
 
 
+def _lrelu(x, slope):
+    return jnp.where(x > 0.0, x, slope * x) if slope else jnp.maximum(x, 0.0)
+
+
 def _fwd_kernel(
-    a_ref, b_ref, idx_ref, em_ref, w2_ref, b2_ref, out_ref, *, tl, k
+    a_ref, b_ref, idx_ref, em_ref, w2_ref, b2_ref, out_ref, *, tl, k,
+    aggr, slope
 ):
     """Grid (B, L//TL).
 
@@ -66,17 +71,26 @@ def _fwd_kernel(
     z = jnp.dot(
         sel, ba, preferred_element_type=jnp.float32
     )  # [TL*K, H1] = b[idx] + a
-    msgs = jnp.maximum(z, 0.0)
+    msgs = _lrelu(z, slope)
     out = jnp.dot(
         msgs.astype(w2_ref.dtype),
         w2_ref[...],
         preferred_element_type=jnp.float32,
     ) + b2_ref[0][None, :]
-    # DynEdge applies the activation after every linear (dynedge.py:190-210)
-    out = jnp.maximum(out, 0.0)
+    # the conv MLPs apply the activation after every linear
+    # (dynedge.py:190-210 / DynTrans layers.py:152-158)
+    out = _lrelu(out, slope)
     H2 = out.shape[1]
-    out = out.reshape(tl, k, H2) * em[:, :, None]
-    out_ref[0] = jnp.sum(out, axis=1)
+    out3 = out.reshape(tl, k, H2)
+    if aggr == "add":
+        out_ref[0] = jnp.sum(out3 * em[:, :, None], axis=1)
+    else:  # masked max; nodes with no valid edge -> 0
+        neg = jnp.float32(-1e30)
+        m = jnp.max(
+            jnp.where(em[:, :, None] > 0.5, out3, neg), axis=1
+        )
+        has = jnp.max(em, axis=1)[:, None]
+        out_ref[0] = jnp.where(has > 0.5, m, 0.0)
 
 
 def _bwd_kernel(
@@ -94,6 +108,8 @@ def _bwd_kernel(
     *,
     tl,
     k,
+    aggr,
+    slope,
 ):
     """Grid (B, L//TL); db/dw2/db2 accumulate across grid steps."""
     t = pl.program_id(1)
@@ -119,19 +135,33 @@ def _bwd_kernel(
     sel = _selection_matrix(idx, tl, k, L, b.dtype)
     ba = jnp.concatenate([b, a], axis=0)
     z = jnp.dot(sel, ba, preferred_element_type=jnp.float32)
-    msgs = jnp.maximum(z, 0.0)
+    msgs = _lrelu(z, slope)
 
     # recompute second-layer pre-activation (incl. bias) to gate grads
-    # through the final relu, matching the forward exactly
+    # through the final activation, matching the forward exactly
     pre2 = jnp.dot(
         msgs.astype(w2_ref.dtype),
         w2_ref[...],
         preferred_element_type=jnp.float32,
     ) + b2_ref[0][None, :]
-    gate2 = (pre2 > 0.0).astype(jnp.float32)
-    g_msgs = (
-        (g[:, None, :] * em[:, :, None]).reshape(tl * k, H2) * gate2
-    )
+    gate2 = jnp.where(pre2 > 0.0, 1.0, jnp.float32(slope))
+    if aggr == "add":
+        g_route = (g[:, None, :] * em[:, :, None]).reshape(tl * k, H2)
+    else:
+        # max aggregation: route the gradient to the first valid argmax
+        # edge per (node, channel) — torch scatter_max semantics
+        vals = _lrelu(pre2, slope).reshape(tl, k, H2)
+        neg = jnp.float32(-1e30)
+        masked = jnp.where(em[:, :, None] > 0.5, vals, neg)
+        mx = jnp.max(masked, axis=1, keepdims=True)
+        is_max = (masked == mx) & (em[:, :, None] > 0.5)
+        first = is_max & (
+            jnp.cumsum(is_max.astype(jnp.int32), axis=1) == 1
+        )
+        g_route = (
+            g[:, None, :] * first.astype(jnp.float32)
+        ).reshape(tl * k, H2)
+    g_msgs = g_route * gate2
 
     dw2_ref[...] += jax.lax.dot_general(
         msgs,
@@ -147,7 +177,7 @@ def _bwd_kernel(
         g_msgs,
         w2_ref[...].T.astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    ) * (z > 0.0).astype(jnp.float32)
+    ) * jnp.where(z > 0.0, 1.0, jnp.float32(slope))
     # transposed selection matmul: rows 0..L-1 scatter-add into d_b,
     # rows L..L+TL-1 are d_a for this tile
     contrib = jax.lax.dot_general(
@@ -160,7 +190,9 @@ def _bwd_kernel(
     da_ref[0] = contrib[L:]
 
 
-def _edgeconv_fwd_impl(a, b, idx, edge_mask, w2, b2, *, tile):
+def _edgeconv_fwd_impl(
+    a, b, idx, edge_mask, w2, b2, *, tile, aggr="add", slope=0.0
+):
     B, L, H1 = a.shape
     H2 = w2.shape[1]
     k = idx.shape[2]
@@ -168,7 +200,9 @@ def _edgeconv_fwd_impl(a, b, idx, edge_mask, w2, b2, *, tile):
     assert L % tl == 0
     em = edge_mask.astype(jnp.float32)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, tl=tl, k=k),
+        functools.partial(
+            _fwd_kernel, tl=tl, k=k, aggr=aggr, slope=slope
+        ),
         grid=(B, L // tl),
         in_specs=[
             pl.BlockSpec(
@@ -204,24 +238,30 @@ def _edgeconv_fwd_impl(a, b, idx, edge_mask, w2, b2, *, tile):
     )(a, b, idx, em, w2, b2.reshape(1, -1))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_edgeconv(a, b, idx, edge_mask, w2, b2, tile=128):
-    """``sum_k em[i,k] relu(relu(a[i] + b[idx[i,k]]) @ w2 + b2)`` per node.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_edgeconv(
+    a, b, idx, edge_mask, w2, b2, tile=128, aggr="add", slope=0.0
+):
+    """``aggr_k em[i,k] act(act(a[i] + b[idx[i,k]]) @ w2 + b2)`` per node,
+    where ``act`` is (leaky-)relu with ``slope`` and ``aggr`` is
+    "add" (DynEdge) or "max" (TITO's EdgeConvTito).
 
     a: [B, L, H1]; b: [B, L, H1]; idx: [B, L, k]; edge_mask: [B, L, k];
     w2: [H1, H2]; b2: [H2].  Returns [B, L, H2] (fp32).
     """
     return _edgeconv_fwd_impl(
-        a, b, idx, edge_mask, w2, b2, tile=tile
+        a, b, idx, edge_mask, w2, b2, tile=tile, aggr=aggr, slope=slope
     )
 
 
-def _fused_fwd(a, b, idx, edge_mask, w2, b2, tile):
-    out = _edgeconv_fwd_impl(a, b, idx, edge_mask, w2, b2, tile=tile)
+def _fused_fwd(a, b, idx, edge_mask, w2, b2, tile, aggr, slope):
+    out = _edgeconv_fwd_impl(
+        a, b, idx, edge_mask, w2, b2, tile=tile, aggr=aggr, slope=slope
+    )
     return out, (a, b, idx, edge_mask, w2, b2)
 
 
-def _fused_bwd(tile, res, g):
+def _fused_bwd(tile, aggr, slope, res, g):
     a, b, idx, edge_mask, w2, b2 = res
     B, L, H1 = a.shape
     H2 = w2.shape[1]
@@ -229,7 +269,9 @@ def _fused_bwd(tile, res, g):
     tl = min(tile, L)
     em = edge_mask.astype(jnp.float32)
     da, db, dw2, db2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, tl=tl, k=k),
+        functools.partial(
+            _bwd_kernel, tl=tl, k=k, aggr=aggr, slope=slope
+        ),
         grid=(B, L // tl),
         in_specs=[
             pl.BlockSpec(

@@ -72,3 +72,65 @@ def test_gradients_match_xla():
             atol=1e-4,
             err_msg=name,
         )
+
+
+def xla_reference_max_leaky(a, b, idx, em, w2, b2, slope=0.01):
+    def lrelu(x):
+        return jnp.where(x > 0, x, slope * x)
+
+    gathered = jnp.take_along_axis(
+        b[:, :, None, :], idx[:, :, :, None], axis=1
+    )
+    msgs = lrelu(a[:, :, None, :] + gathered)
+    out = lrelu(msgs @ w2 + b2)
+    neg = jnp.float32(-1e30)
+    m = jnp.max(jnp.where(em[..., None] > 0.5, out, neg), axis=2)
+    has = jnp.max(em, axis=2)[..., None]
+    return jnp.where(has > 0.5, m, 0.0)
+
+
+def test_max_leaky_forward_and_grads():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from graphnet_tpu.ops.edgeconv_pallas import fused_edgeconv
+
+    a, b, idx, em, w2, b2 = make_inputs(seed=2)
+    emf = em.astype(jnp.float32)
+
+    def loss_ref(a, b, w2, b2):
+        return jnp.sum(
+            xla_reference_max_leaky(a, b, idx, emf, w2, b2) ** 2
+        )
+
+    def loss_fused(a, b, w2, b2):
+        return jnp.sum(
+            fused_edgeconv(
+                a, b, idx, em, w2, b2, 32, "max", 0.01
+            )
+            ** 2
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_edgeconv(a, b, idx, em, w2, b2, 32, "max", 0.01)
+        )
+    expected = np.asarray(
+        xla_reference_max_leaky(a, b, idx, emf, w2, b2)
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(a, b, w2, b2)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+            a, b, w2, b2
+        )
+    for name, gr, gf in zip(
+        ("da", "db", "dw2", "db2"), g_ref, g_fused
+    ):
+        np.testing.assert_allclose(
+            np.asarray(gf),
+            np.asarray(gr),
+            rtol=1e-4,
+            atol=1e-4,
+            err_msg=name,
+        )

@@ -155,9 +155,15 @@ def _bwd_kernel(
         masked = jnp.where(em[:, :, None] > 0.5, vals, neg)
         mx = jnp.max(masked, axis=1, keepdims=True)
         is_max = (masked == mx) & (em[:, :, None] > 0.5)
-        first = is_max & (
-            jnp.cumsum(is_max.astype(jnp.int32), axis=1) == 1
+        # first argmax per (node, channel) via min-index (cumsum is not
+        # lowerable in Pallas TPU)
+        kio = jax.lax.broadcasted_iota(
+            jnp.int32, is_max.shape, 1
         )
+        kidx = jnp.min(
+            jnp.where(is_max, kio, k), axis=1, keepdims=True
+        )
+        first = kio == kidx
         g_route = (
             g[:, None, :] * first.astype(jnp.float32)
         ).reshape(tl * k, H2)

@@ -58,6 +58,7 @@ class Trainer(Logger):
         seed: int = 42,
         averaging: Optional[str] = None,
         ema_decay: float = 0.999,
+        clip_grad_norm: Optional[float] = None,
     ) -> None:
         """``averaging``: None, "swa" (equal-weight running average) or
         "ema" — analogue of the reference's StandardAveragedModel
@@ -65,6 +66,7 @@ class Trainer(Logger):
         updated per optimiser step and swapped in at fit end."""
         super().__init__()
         assert averaging in (None, "swa", "ema")
+        self.clip_grad_norm = clip_grad_norm
         self.averaging = averaging
         self.ema_decay = ema_decay
         self._avg_params = None
@@ -81,7 +83,7 @@ class Trainer(Logger):
                 ),
                 eps=1e-3,
             )
-        self.optimizer = optimizer
+        self.optimizer = self._maybe_clip(optimizer)
         self.mesh = mesh
         self.data_axis = data_axis
         self.checkpoint_dir = checkpoint_dir
@@ -90,6 +92,13 @@ class Trainer(Logger):
         self._train_step_fn = None
         self._eval_step_fn = None
         self._predict_fn = None
+
+    def _maybe_clip(self, optimizer):
+        if self.clip_grad_norm is None:
+            return optimizer
+        return optax.chain(
+            optax.clip_by_global_norm(self.clip_grad_norm), optimizer
+        )
 
     # ------------------------------------------------------------------
     def _shard_batch(self, batch: EventBatch) -> EventBatch:
@@ -190,8 +199,8 @@ class Trainer(Logger):
                 [0, steps_per_epoch // 2, steps_per_epoch * max_epochs],
                 [1e-2, 1.0, 1e-2],
             )
-            self.optimizer = optax.adam(
-                learning_rate=self._schedule, eps=1e-3
+            self.optimizer = self._maybe_clip(
+                optax.adam(learning_rate=self._schedule, eps=1e-3)
             )
 
         self._make_steps()

@@ -176,6 +176,11 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self._lengths: Optional[np.ndarray] = None
+        # padding-efficiency accounting (valid pulses / padded slots),
+        # updated per epoch — padding waste is the cost of the static-
+        # shape design and is tracked as a first-class metric
+        self._valid_slots = 0
+        self._total_slots = 0
 
     def _event_lengths(self) -> np.ndarray:
         if self._lengths is None:
@@ -208,6 +213,8 @@ class DataLoader:
                 yield chunk
 
     def __iter__(self) -> Iterator[EventBatch]:
+        self._valid_slots = 0
+        self._total_slots = 0
         for idxs in self._batches():
             events = [self.dataset[i] for i in idxs]
             batch = collate_events(
@@ -216,7 +223,17 @@ class DataLoader:
                 min_pulses=self.min_pulses,
             )
             if batch is not None:
+                self._valid_slots += int(np.asarray(batch.n_pulses).sum())
+                self._total_slots += batch.batch_size * batch.max_length
                 yield batch
+
+    @property
+    def padding_efficiency(self) -> float:
+        """Fraction of padded node slots holding real pulses in the most
+        recent (or ongoing) epoch; 1.0 = no waste."""
+        if self._total_slots == 0:
+            return float("nan")
+        return self._valid_slots / self._total_slots
 
     def __len__(self) -> int:
         n = len(self.dataset)

@@ -264,6 +264,11 @@ class Trainer(Logger):
                 f"epoch {epoch}: train_loss={train_loss:.4f} "
                 f"({time.time()-t0:.1f}s)"
             )
+            pad_eff = getattr(
+                train_loader, "padding_efficiency", None
+            )
+            if pad_eff is not None and np.isfinite(pad_eff):
+                msg += f" pad_eff={pad_eff:.2f}"
             if val_loader is not None:
                 val_losses = []
                 counts = []

@@ -290,6 +290,58 @@ class I3QUESOExtractor(I3Extractor):
         return out
 
 
+class I3GenericExtractor(I3Extractor):
+    """Auto-serialise arbitrary frame objects (reference
+    ``i3genericextractor.py:29``): for each configured frame key, scalar
+    numeric attributes of the object (or of each element of a map/series)
+    are flattened into columns named ``<key>.<attr>``."""
+
+    def __init__(
+        self,
+        keys: Optional[List[str]] = None,
+        exclude_keys: Optional[List[str]] = None,
+        extractor_name: str = "generic",
+    ):
+        super().__init__(extractor_name=extractor_name)
+        self._keys = keys
+        self._exclude = set(exclude_keys or [])
+
+    @staticmethod
+    def _scalar_members(obj) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for attr in dir(obj):
+            if attr.startswith("_"):
+                continue
+            try:
+                value = getattr(obj, attr)
+            except Exception:
+                continue
+            if isinstance(value, (int, float, bool)):
+                out[attr] = float(value)
+            elif hasattr(value, "x") and hasattr(value, "y"):
+                for c in ("x", "y", "z"):
+                    if hasattr(value, c):
+                        out[f"{attr}.{c}"] = float(getattr(value, c))
+        return out
+
+    def __call__(self, frame) -> Dict[str, Any]:
+        keys = self._keys or [
+            k for k in frame.keys() if k not in self._exclude
+        ]
+        output: Dict[str, Any] = {}
+        for key in keys:
+            if key not in frame:
+                continue
+            obj = frame[key]
+            try:
+                members = self._scalar_members(obj)
+            except Exception:
+                continue
+            for name, value in members.items():
+                output[f"{key}.{name}"] = value
+        return output
+
+
 class I3TruthExtractor(I3Extractor):
     """Per-event MC truth: energy, direction, vertex, pid, interaction
     type (reference ``i3truthextractor.py:22-440``, core paths)."""

@@ -85,20 +85,49 @@ def bench_jax(compute_dtype=None) -> dict:
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # compile + warmup
+    # chip-bound steady state: N_STEPS scanned inside one executable, so
+    # per-step host dispatch (large on tunneled/remote runtimes) is
+    # excluded — this is the number the chip actually sustains when the
+    # input pipeline keeps it fed
+    @jax.jit
+    def steps(params, opt_state, batch):
+        def one(carry, _):
+            p, o = carry
+            def loss_fn(p_):
+                return model.loss(model.apply(p_, batch), batch.labels)
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = optimizer.update(grads, o)
+            return (optax.apply_updates(p, updates), o), loss
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), None, length=N_STEPS
+        )
+        return params, opt_state, losses[-1]
+
+    # compile + warmup both variants
     params, opt_state, loss = step(params, opt_state, batch)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
         params, opt_state, loss = step(params, opt_state, batch)
     jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    events_per_s = B * N_STEPS / dt
+    dt_dispatch = (time.perf_counter() - t0) / N_STEPS
+
+    p2, o2, loss = steps(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        p2, o2, loss = steps(p2, o2, batch)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / (reps * N_STEPS)
+
+    events_per_s = B / dt
     n_edges = int(np.asarray(batch.mask).sum()) * K
     return {
         "events_per_s": events_per_s,
         "edges_per_s": events_per_s / B * n_edges,
-        "step_ms": dt / N_STEPS * 1e3,
+        "step_ms": dt * 1e3,
+        "per_dispatch_step_ms": dt_dispatch * 1e3,
         "backend": jax.default_backend(),
     }
 
@@ -212,6 +241,9 @@ def main() -> None:
                 "detail": {
                     "edges_per_s": round(res["edges_per_s"], 0),
                     "step_ms": round(res["step_ms"], 2),
+                    "per_dispatch_step_ms": round(
+                        res["per_dispatch_step_ms"], 2
+                    ),
                     "fp32_events_per_s": (
                         round(res_fp32["events_per_s"], 1)
                         if res_fp32

@@ -76,10 +76,13 @@ class Trainer(Logger):
         self._schedule = schedule
         if optimizer is None:
             # reference default: Adam(lr=1e-3, eps=1e-3)
-            # (`examples/04_training/01_train_dynedge.py:128-141`)
+            # (`examples/04_training/01_train_dynedge.py:128-141`).
+            # A constant lr is wrapped as a schedule so the optimiser
+            # state structure is identical with and without schedules —
+            # keeps resume checkpoints compatible across the two modes.
             optimizer = optax.adam(
                 learning_rate=schedule if schedule is not None else (
-                    learning_rate
+                    optax.constant_schedule(learning_rate)
                 ),
                 eps=1e-3,
             )
@@ -506,7 +509,15 @@ class Trainer(Logger):
             },
         }
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path, target=target)
+        try:
+            restored = ckptr.restore(path, target=target)
+        except ValueError as e:
+            raise RuntimeError(
+                "Training-state checkpoint does not match this Trainer's "
+                "optimizer configuration — resume requires the same "
+                "optimizer/schedule/clip_grad_norm settings as the run "
+                f"that saved {path!r}."
+            ) from e
         self.state = TrainState(
             params=self._replicate(restored["params"]),
             opt_state=self._replicate(restored["opt_state"]),

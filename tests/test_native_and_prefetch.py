@@ -88,3 +88,61 @@ class TestPrefetch:
 
         with pytest.raises(RuntimeError, match="boom"):
             list(PrefetchingLoader(L()))
+
+
+def test_prefetch_through_trainer():
+    """PrefetchingLoader wraps a DataLoader transparently for fit()."""
+    import os
+
+    import pytest as _pytest
+
+    from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+
+    if not os.path.exists(EXAMPLE_SQLITE_DATA):
+        _pytest.skip("example data not present")
+
+    import jax.numpy as jnp
+
+    from graphnet_tpu.data.constants import FEATURES, TRUTH
+    from graphnet_tpu.data.dataloader import DataLoader
+    from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
+    from graphnet_tpu.models.detector.prometheus import Prometheus
+    from graphnet_tpu.models.gnn.dynedge import DynEdge
+    from graphnet_tpu.models.graphs import KNNGraph
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import (
+        EnergyReconstruction,
+    )
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+    from graphnet_tpu.training.trainer import Trainer
+
+    ds = SQLiteDataset(
+        path=EXAMPLE_SQLITE_DATA,
+        graph_definition=KNNGraph(detector=Prometheus()),
+        pulsemaps="total",
+        features=FEATURES.PROMETHEUS,
+        truth=TRUTH.PROMETHEUS,
+        truth_table="mc_truth",
+    )
+    model = StandardModel(
+        backbone=DynEdge(nb_inputs=4),
+        tasks=(
+            EnergyReconstruction(
+                loss_function=LogCoshLoss(),
+                target_labels=("total_energy",),
+                transform_prediction_and_target=lambda x: jnp.log10(
+                    x
+                ),
+            ),
+        ),
+    )
+    loader = PrefetchingLoader(
+        DataLoader(ds, batch_size=16, shuffle=True, seed=0),
+        prefetch=2,
+    )
+    trainer = Trainer(model, learning_rate=1e-4)
+    history = trainer.fit(
+        loader, max_epochs=2, use_default_schedule=False
+    )
+    assert len(history["train_loss"]) == 2
+    assert np.isfinite(history["train_loss"]).all()

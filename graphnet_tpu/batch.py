@@ -37,6 +37,10 @@ class EventBatch:
         edges: optional precomputed neighbor indices ``[B, L, k]`` (static-edge
             models); None when the backbone computes its own (DynEdge).
         edge_mask: optional ``[B, L, k]`` bool mask for ``edges``.
+        event_weight: optional ``[B]`` float loss weights per event.  Used by
+            the Trainer to pad ragged batches up to a mesh-divisible size:
+            real events carry ``B_padded / B_real`` and pad events ``0`` so
+            the plain-mean loss reduction equals the unpadded batch exactly.
     """
 
     x: jax.Array
@@ -46,6 +50,7 @@ class EventBatch:
     node_labels: Dict[str, jax.Array] = struct.field(default_factory=dict)
     edges: Optional[jax.Array] = None
     edge_mask: Optional[jax.Array] = None
+    event_weight: Optional[jax.Array] = None
 
     @property
     def batch_size(self) -> int:

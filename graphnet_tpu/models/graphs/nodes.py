@@ -13,6 +13,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from graphnet_tpu.utils.config import save_config
 from graphnet_tpu.models.graphs.utils import (
     cluster_summarize_with_percentiles,
     gather_cluster_sequence,
@@ -25,6 +26,7 @@ from graphnet_tpu.models.graphs.utils import (
 class NodeDefinition:
     """Base node definition (reference ``nodes.py:22-120``)."""
 
+    @save_config
     def __init__(
         self, input_feature_names: Optional[List[str]] = None
     ) -> None:
@@ -79,6 +81,7 @@ class PercentileClusters(NodeDefinition):
     """Cluster pulses on ``cluster_on`` columns; summarise the rest with
     percentiles (reference ``nodes.py:135-217``)."""
 
+    @save_config
     def __init__(
         self,
         cluster_on: List[str],
@@ -121,6 +124,7 @@ class NodeAsDOMTimeSeries(NodeDefinition):
     """Time-sorted per-DOM series with ``new_node_col`` boundary markers for
     the RNN backbone (reference ``nodes.py:220-306``)."""
 
+    @save_config
     def __init__(
         self,
         keys: List[str] = (
@@ -177,6 +181,7 @@ class IceMixNodes(NodeDefinition):
     """HLC-prioritised subsampling to ``max_pulses`` + interpolated ice
     scattering/absorption features (reference ``nodes.py:309-460``)."""
 
+    @save_config
     def __init__(
         self,
         input_feature_names: Optional[List[str]] = None,

@@ -134,6 +134,8 @@ class NormalizingFlow(nn.Module):
         """Mean NLLH — lets ``Trainer.fit`` train flows directly
         (reference trains flows through the same fit loop via
         StandardFlowTask, ``task.py:388-470``)."""
+        if batch.event_weight is not None:
+            return jnp.mean(outputs * batch.event_weight)
         return jnp.mean(outputs)
 
     @property

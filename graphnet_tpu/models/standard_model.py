@@ -62,6 +62,7 @@ class StandardModel(nn.Module):
         weights: Optional[Array] = None,
         node_labels: Optional[Dict[str, Array]] = None,
         mask: Optional[Array] = None,
+        event_weights: Optional[Array] = None,
     ) -> Array:
         losses = [
             task.compute_loss(
@@ -71,6 +72,7 @@ class StandardModel(nn.Module):
                 weights=weights,
                 node_labels=node_labels,
                 mask=mask,
+                event_weights=event_weights,
             )
             for task, (pred, reg) in zip(self.tasks, outputs)
         ]
@@ -85,6 +87,7 @@ class StandardModel(nn.Module):
             batch.labels,
             node_labels=batch.node_labels,
             mask=batch.mask,
+            event_weights=batch.event_weight,
         )
 
     @property

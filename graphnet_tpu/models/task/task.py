@@ -150,6 +150,7 @@ class Task(nn.Module):
         weights: Optional[Array] = None,
         node_labels: Optional[Dict[str, Array]] = None,
         mask: Optional[Array] = None,
+        event_weights: Optional[Array] = None,
     ) -> Array:
         """Stack target label columns, transform, evaluate loss
         (reference ``task.py:318-337``).
@@ -157,6 +158,9 @@ class Task(nn.Module):
         Node-level tasks: ``pred`` is ``[B, L, d]``, targets come from
         ``node_labels`` (``[B, L]``), and padded nodes are excluded via
         zero weights with a valid-count-normalised mean.
+
+        ``event_weights``: optional ``[B]`` multiplier (the Trainer's
+        ragged-batch padding compensation; see ``EventBatch.event_weight``).
         """
         if self.node_level:
             assert node_labels is not None and mask is not None
@@ -168,7 +172,12 @@ class Task(nn.Module):
             B, L, d = pred.shape
             pred_flat = pred.reshape(B * L, d)
             target_flat = target.reshape(B * L, -1)
-            w = mask.reshape(B * L).astype(pred.dtype)
+            w = mask.astype(pred.dtype)
+            if event_weights is not None:
+                # scale cancels in the normalised mean; only the zeros on
+                # padded events matter
+                w = w * event_weights[:, None].astype(pred.dtype)
+            w = w.reshape(B * L)
             assert self.loss_function is not None
             elements = self.loss_function(
                 pred_flat, target_flat, return_elements=True
@@ -191,6 +200,12 @@ class Task(nn.Module):
         target = self._transform_target_fn(target)
         if self.loss_weight is not None:
             weights = labels[self.loss_weight]
+        if event_weights is not None:
+            weights = (
+                event_weights
+                if weights is None
+                else weights * event_weights
+            )
         assert self.loss_function is not None, "Task has no loss function"
         return self.loss_function(pred, target, weights=weights) + reg
 

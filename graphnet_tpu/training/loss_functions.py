@@ -149,6 +149,13 @@ class LossFunction:
     ) -> Array:
         elements = self._forward(prediction, target)
         if weights is not None:
+            # per-event weights are [B]; elements may be [B] or [B, d] —
+            # align by appending singleton axes (a bare broadcast of [B]
+            # against [B, 1] would produce a bogus [B, B] outer product)
+            if weights.ndim < elements.ndim:
+                weights = weights.reshape(
+                    weights.shape + (1,) * (elements.ndim - weights.ndim)
+                )
             elements = elements * weights
         return elements if return_elements else jnp.mean(elements)
 

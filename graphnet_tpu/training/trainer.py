@@ -59,11 +59,17 @@ class Trainer(Logger):
         averaging: Optional[str] = None,
         ema_decay: float = 0.999,
         clip_grad_norm: Optional[float] = None,
+        metric_logger: Optional[Any] = None,
     ) -> None:
         """``averaging``: None, "swa" (equal-weight running average) or
         "ema" — analogue of the reference's StandardAveragedModel
         (``standard_averaged_model.py:21-154``); averaged weights are
-        updated per optimiser step and swapped in at fit end."""
+        updated per optimiser step and swapped in at fit end.
+
+        ``metric_logger``: optional experiment logger — any object with
+        ``log_metrics(metrics: dict, step: int)``, or a wandb-style object
+        with ``.log(dict, step=...)`` (the reference wires W&B in its
+        examples, ``examples/04_training/01_train_dynedge.py:46-56``)."""
         super().__init__()
         assert averaging in (None, "swa", "ema")
         self.clip_grad_norm = clip_grad_norm
@@ -92,9 +98,25 @@ class Trainer(Logger):
         self.checkpoint_dir = checkpoint_dir
         self.seed = seed
         self.state: Optional[TrainState] = None
+        self.metric_logger = metric_logger
         self._train_step_fn = None
         self._eval_step_fn = None
         self._predict_fn = None
+
+    def _current_lr(self) -> float:
+        """Learning rate at the current optimiser step."""
+        step = self.state.step if self.state is not None else 0
+        if self._schedule is not None:
+            return float(self._schedule(step))
+        return float(self._lr)
+
+    def _log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        if self.metric_logger is None:
+            return
+        if hasattr(self.metric_logger, "log_metrics"):
+            self.metric_logger.log_metrics(metrics, step=step)
+        elif hasattr(self.metric_logger, "log"):  # wandb-style
+            self.metric_logger.log(metrics, step=step)
 
     def _maybe_clip(self, optimizer):
         if self.clip_grad_norm is None:
@@ -104,9 +126,48 @@ class Trainer(Logger):
         )
 
     # ------------------------------------------------------------------
+    def _pad_to_multiple(self, batch: EventBatch) -> EventBatch:
+        """Pad the batch dimension up to a multiple of the data-axis size.
+
+        ``LenMatchBatchSampler`` emits ragged leftover batches
+        (``dataloader.py:131-136``); under a mesh, a non-divisible B cannot
+        be sharded.  Pad events are copies of the last event carrying zero
+        ``event_weight``, while real events carry ``B_pad / B_real`` — the
+        plain-mean loss reduction then equals the unpadded batch exactly.
+        """
+        if self.mesh is None:
+            return batch
+        n = self.mesh.shape[self.data_axis]
+        B = batch.batch_size
+        rem = B % n
+        if rem == 0:
+            return batch
+        pad = n - rem
+        Bp = B + pad
+        idx = np.concatenate(
+            [np.arange(B), np.full(pad, B - 1, dtype=np.int64)]
+        )
+
+        def take(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B:
+                return jnp.asarray(np.asarray(x)[idx])
+            return x
+
+        padded = jax.tree_util.tree_map(take, batch)
+        base = (
+            jnp.asarray(batch.event_weight, jnp.float32)
+            if batch.event_weight is not None
+            else jnp.ones((B,), jnp.float32)
+        )
+        ev = jnp.concatenate(
+            [base * (Bp / B), jnp.zeros((pad,), jnp.float32)]
+        )
+        return padded.replace(event_weight=ev)
+
     def _shard_batch(self, batch: EventBatch) -> EventBatch:
         if self.mesh is None:
             return batch
+        batch = self._pad_to_multiple(batch)
         sharding = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec(self.data_axis)
         )
@@ -233,7 +294,9 @@ class Trainer(Logger):
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             losses = []
+            n_events = 0
             for i, batch in enumerate(train_loader):
+                n_events += batch.batch_size
                 batch = self._shard_batch(batch)
                 if self.state is None:
                     self.init(batch)
@@ -248,13 +311,26 @@ class Trainer(Logger):
                     step=self.state.step + 1,
                 )
                 self._update_averages(params)
+                # device scalar — no host sync in the hot loop; the only
+                # sync is the (rare) log-interval print below
                 losses.append(loss)
                 if (i + 1) % log_every_n_steps == 0:
                     self.info(
                         f"epoch {epoch} step {i+1}: "
-                        f"train_loss={float(loss):.4f}"
+                        f"train_loss={float(loss):.4f} "
+                        f"lr={self._current_lr():.3e}"
                     )
-            train_loss = float(np.mean([float(l) for l in losses]))
+                    self._log_metrics(
+                        {
+                            "train_loss": float(loss),
+                            "lr": self._current_lr(),
+                        },
+                        step=self.state.step,
+                    )
+            # single host sync per epoch
+            train_loss = float(jnp.mean(jnp.stack(losses)))
+            epoch_time = time.time() - t0
+            events_per_s = n_events / max(epoch_time, 1e-9)
             history["train_loss"].append(train_loss)
             if profiling:
                 jax.profiler.stop_trace()
@@ -265,27 +341,35 @@ class Trainer(Logger):
 
             msg = (
                 f"epoch {epoch}: train_loss={train_loss:.4f} "
-                f"({time.time()-t0:.1f}s)"
+                f"({epoch_time:.1f}s, {events_per_s:.0f} events/s, "
+                f"lr={self._current_lr():.3e})"
             )
+            epoch_metrics = {
+                "train_loss": train_loss,
+                "events_per_s": events_per_s,
+                "lr": self._current_lr(),
+            }
             pad_eff = getattr(
                 train_loader, "padding_efficiency", None
             )
             if pad_eff is not None and np.isfinite(pad_eff):
                 msg += f" pad_eff={pad_eff:.2f}"
+                epoch_metrics["padding_efficiency"] = pad_eff
             if val_loader is not None:
                 val_losses = []
                 counts = []
                 for batch in val_loader:
+                    counts.append(batch.batch_size)  # real (pre-pad) count
                     batch = self._shard_batch(batch)
                     val_losses.append(
                         float(
                             self._eval_step_fn(self.state.params, batch)
                         )
                     )
-                    counts.append(batch.batch_size)
                 val_loss = float(
                     np.average(val_losses, weights=counts)
                 )
+                epoch_metrics["val_loss"] = val_loss
                 history["val_loss"].append(val_loss)
                 msg += f" val_loss={val_loss:.4f}"
                 improved = stopper.update(val_loss, epoch)
@@ -303,8 +387,10 @@ class Trainer(Logger):
                         f"(best epoch {stopper.best_epoch})"
                     )
                     self.info(msg)
+                    self._log_metrics(epoch_metrics, step=self.state.step)
                     break
             self.info(msg)
+            self._log_metrics(epoch_metrics, step=self.state.step)
 
         if profiling:
             jax.profiler.stop_trace()
@@ -368,14 +454,16 @@ class Trainer(Logger):
             self._make_steps()
         per_task: Optional[List[List[np.ndarray]]] = None
         for batch in loader:
-            batch = self._shard_batch(batch)
+            real_b = batch.batch_size
+            sb = self._shard_batch(batch)
             if self.state is None:
-                self.init(batch)
-            outs = self._predict_fn(self.state.params, batch)
+                self.init(sb)
+            outs = self._predict_fn(self.state.params, sb)
             if per_task is None:
                 per_task = [[] for _ in outs]
             for i, o in enumerate(outs):
-                per_task[i].append(np.asarray(o))
+                # drop mesh-divisibility pad events, if any
+                per_task[i].append(np.asarray(o)[:real_b])
         assert per_task is not None, "empty loader"
         return [np.concatenate(chunks, axis=0) for chunks in per_task]
 
@@ -407,9 +495,10 @@ class Trainer(Logger):
             sb = self._shard_batch(batch)
             if self.state is None:
                 self.init(sb)
-            outs = [np.asarray(o) for o in self._predict_fn(
-                self.state.params, sb
-            )]
+            outs = [
+                np.asarray(o)[: batch.batch_size]  # drop pad events
+                for o in self._predict_fn(self.state.params, sb)
+            ]
             if node_level:
                 mask = np.asarray(batch.mask)
                 flat = [

@@ -1,0 +1,406 @@
+"""Torch→flax weight porting and reference-config translation.
+
+Bridges trained artifacts of the reference (GraphNeT) to this framework
+(SURVEY.md §7 step 2):
+
+  * :func:`port_dynedge_state_dict` maps a reference ``StandardModel``
+    state_dict (DynEdge backbone, ``gnn/dynedge.py:190-210`` Sequential
+    layout) onto our flax parameter tree, including the *linearised* first
+    EdgeConv layer: since ``cat[x_i, x_j - x_i] @ [W1; W2]^T =
+    x_i @ (W1 - W2)^T + x_j @ W2^T``, the torch first-linear weight
+    ``[h, 2d]`` splits into ``self_dense.kernel = (W1 - W2)^T`` and
+    ``nbr_dense.kernel = W2^T`` (``models/components/layers.py:92-98``).
+
+  * :func:`from_reference_config` instantiates our components from the
+    reference's ModelConfig YAML (``utilities/config/model_config.py:36``)
+    WITHOUT evaluating code: ``'!lambda ...'`` strings are looked up in a
+    table of known physics transforms and ``'!class ...'`` optimizer
+    references are ignored (optimisation is the Trainer's concern here).
+
+Together these let a user load the reference's pretrained zoo
+(``src/graphnet/models/pretrained/icecube/.../*_config.yml`` +
+``*_state_dict.pth``) and serve it from this framework.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# state_dict porting
+# ---------------------------------------------------------------------------
+
+
+def _to_numpy(v) -> np.ndarray:
+    if hasattr(v, "detach"):  # torch tensor, without importing torch
+        v = v.detach().cpu().numpy()
+    return np.asarray(v, dtype=np.float32)
+
+
+def _normalise_keys(state_dict: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """numpy-ify values; apply the reference's ``_gnn -> backbone``
+    migration (``models/model.py:49-79``); drop non-parameter buffers."""
+    out = {}
+    for k, v in state_dict.items():
+        k = re.sub(r"^_gnn\.", "backbone.", k)
+        out[k] = _to_numpy(v)
+    return out
+
+
+def port_dynedge_state_dict(
+    state_dict: Dict[str, Any],
+    template: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Map a reference DynEdge-StandardModel state_dict onto a flax
+    parameter tree.
+
+    Args:
+        state_dict: torch ``model.state_dict()`` (tensors or arrays) with
+            reference key names (``backbone._conv_layers.{i}.nn.{j}.*``,
+            ``backbone._post_processing.{j}.*``, ``backbone._readout.{j}.*``,
+            ``_tasks.{t}._affine.*``).
+        template: params pytree from ``model.init`` of the matching
+            :class:`~graphnet_tpu.models.standard_model.StandardModel` —
+            provides the expected tree structure and shapes.
+
+    Returns:
+        A new params dict with every leaf filled from the state_dict.
+    """
+    sd = _normalise_keys(state_dict)
+    params = _copy_tree(template)
+    root = params["params"] if "params" in params else params
+    used: set = set()
+
+    # --- conv layers -----------------------------------------------------
+    conv_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"backbone\._conv_layers\.(\d+)\.", k))
+        }
+    )
+    assert conv_ids, (
+        "no `backbone._conv_layers.*` keys found — is this a DynEdge "
+        f"StandardModel state_dict? keys: {sorted(sd)[:5]}..."
+    )
+    for i in conv_ids:
+        prefix = f"backbone._conv_layers.{i}.nn"
+        lin_ids = sorted(
+            {
+                int(m.group(1))
+                for k in sd
+                if (m := re.match(rf"{re.escape(prefix)}\.(\d+)\.weight$", k))
+                and sd[k].ndim == 2  # Linear (LayerNorm weights are 1-D)
+            }
+        )
+        assert lin_ids, f"no linear layers under {prefix}"
+        norm_ids = sorted(
+            {
+                int(m.group(1))
+                for k in sd
+                if (m := re.match(rf"{re.escape(prefix)}\.(\d+)\.weight$", k))
+                and sd[k].ndim == 1
+            }
+        )
+        if norm_ids:
+            raise NotImplementedError(
+                "add_norm_layer DynEdge checkpoints are not supported by "
+                "the porter yet"
+            )
+        conv = root["backbone"][f"conv_{i}"]["conv"]
+        # first linear: split [h, 2d] into self/neighbour terms
+        w = sd[f"{prefix}.{lin_ids[0]}.weight"]
+        b = sd[f"{prefix}.{lin_ids[0]}.bias"]
+        used |= {f"{prefix}.{lin_ids[0]}.weight", f"{prefix}.{lin_ids[0]}.bias"}
+        d_in = w.shape[1] // 2
+        w1, w2 = w[:, :d_in], w[:, d_in:]
+        _fill(conv["self_dense"], "kernel", (w1 - w2).T)
+        _fill(conv["self_dense"], "bias", b)
+        _fill(conv["nbr_dense"], "kernel", w2.T)
+        # remaining linears
+        for j, lid in enumerate(lin_ids[1:]):
+            w = sd[f"{prefix}.{lid}.weight"]
+            b = sd[f"{prefix}.{lid}.bias"]
+            used |= {f"{prefix}.{lid}.weight", f"{prefix}.{lid}.bias"}
+            if "out_kernel" in conv and len(lin_ids) == 2:
+                _fill(conv, "out_kernel", w.T)
+                _fill(conv, "out_bias", b)
+            else:
+                _fill(conv["nn"][f"dense_{j}"], "kernel", w.T)
+                _fill(conv["nn"][f"dense_{j}"], "bias", b)
+
+    # --- post-processing / readout MLPs ---------------------------------
+    for torch_name, flax_name in (
+        ("_post_processing", "post_processing"),
+        ("_readout", "readout"),
+    ):
+        prefix = f"backbone.{torch_name}"
+        lin_ids = sorted(
+            {
+                int(m.group(1))
+                for k in sd
+                if (m := re.match(rf"{re.escape(prefix)}\.(\d+)\.weight$", k))
+                and sd[k].ndim == 2
+            }
+        )
+        for j, lid in enumerate(lin_ids):
+            w = sd[f"{prefix}.{lid}.weight"]
+            b = sd[f"{prefix}.{lid}.bias"]
+            used |= {f"{prefix}.{lid}.weight", f"{prefix}.{lid}.bias"}
+            _fill(root["backbone"][flax_name][f"dense_{j}"], "kernel", w.T)
+            _fill(root["backbone"][flax_name][f"dense_{j}"], "bias", b)
+
+    # --- task heads ------------------------------------------------------
+    task_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"_tasks\.(\d+)\._affine\.weight$", k))
+        }
+    )
+    for t in task_ids:
+        w = sd[f"_tasks.{t}._affine.weight"]
+        b = sd[f"_tasks.{t}._affine.bias"]
+        used |= {f"_tasks.{t}._affine.weight", f"_tasks.{t}._affine.bias"}
+        _fill(root[f"tasks_{t}"]["affine"], "kernel", w.T)
+        _fill(root[f"tasks_{t}"]["affine"], "bias", b)
+
+    unused_params = [
+        k
+        for k in sd
+        if k not in used
+        and ("weight" in k or "bias" in k)
+        # graph building is host-side in our design; its torch buffers
+        # (e.g. detector scaling constants) have no flax counterpart
+        and not k.startswith("_graph_definition")
+    ]
+    if unused_params:
+        raise ValueError(
+            f"unported parameter keys in state_dict: {unused_params}"
+        )
+    return params
+
+
+def _copy_tree(tree):
+    if isinstance(tree, dict):
+        return {k: _copy_tree(v) for k, v in tree.items()}
+    try:  # FrozenDict
+        from flax.core import FrozenDict
+
+        if isinstance(tree, FrozenDict):
+            return {k: _copy_tree(v) for k, v in tree.items()}
+    except Exception:
+        pass
+    return tree
+
+
+def _fill(node: Dict[str, Any], key: str, value: np.ndarray) -> None:
+    import jax.numpy as jnp
+
+    assert key in node, f"flax template has no leaf {key!r} at {sorted(node)}"
+    expect = np.shape(node[key])
+    assert tuple(value.shape) == tuple(expect), (
+        f"shape mismatch for {key}: torch {value.shape} vs flax {expect}"
+    )
+    node[key] = jnp.asarray(value, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# reference-config translation (no eval)
+# ---------------------------------------------------------------------------
+
+# known physics transforms appearing in reference zoo configs / examples —
+# matched STRUCTURALLY (string table), never evaluated
+_LAMBDA_TABLE = {
+    "x: torch.log10(x)": "log10",
+    "x: torch.pow(10,x)": "pow10",
+    "x: torch.pow(10, x)": "pow10",
+    "x: torch.log(x)": "log",
+    "x: torch.exp(x)": "exp",
+    "x: x": "identity",
+    "x: torch.log10(x)/2.": "log10_half",
+    "x: 10**(2*x)": "pow10_double",
+}
+
+
+def _resolve_lambda(s: str):
+    from graphnet_tpu.utils.config import TRANSFORM_REGISTRY, register_transform
+
+    body = s[len("!lambda") :].strip()
+    if body not in _LAMBDA_TABLE:
+        raise ValueError(
+            f"Unknown reference lambda {s!r}; add it to "
+            "weight_port._LAMBDA_TABLE with a registered transform."
+        )
+    name = _LAMBDA_TABLE[body]
+    if name not in TRANSFORM_REGISTRY:
+        import jax.numpy as jnp
+
+        extra = {
+            "log10_half": lambda x: jnp.log10(x) / 2.0,
+            "pow10_double": lambda x: jnp.power(10.0, 2.0 * x),
+        }
+        register_transform(name, extra[name])
+    return TRANSFORM_REGISTRY[name]
+
+
+# reference arguments that have no meaning in this framework (training glue
+# handled by our Trainer, torch dtypes, hidden sizes inferred by flax)
+_DROP_ARGS = {
+    "optimizer_class",
+    "optimizer_kwargs",
+    "scheduler_class",
+    "scheduler_config",
+    "scheduler_kwargs",
+    "dtype",
+    "hidden_size",
+}
+
+# reference class name -> our class name, where they differ
+_CLASS_ALIASES = {
+    "IceCubeKaggle": "IceCubeKaggle",
+}
+
+
+def _translate(value: Any) -> Any:
+    from graphnet_tpu.utils.config import CLASS_REGISTRY
+
+    if isinstance(value, dict) and "ModelConfig" in value:
+        return _build_component(value["ModelConfig"])
+    if isinstance(value, dict) and {"class_name", "arguments"} <= set(value):
+        return _build_component(value)
+    if isinstance(value, dict):
+        return {k: _translate(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_translate(v) for v in value]
+    if isinstance(value, str) and value.startswith("!lambda"):
+        return _resolve_lambda(value)
+    if isinstance(value, str) and value.startswith("!class"):
+        return None  # torch classes (optimizers etc.) have no counterpart
+    return value
+
+
+def _build_component(cfg: Dict[str, Any]) -> Any:
+    """Instantiate one of OUR classes from a reference ModelConfig dict."""
+    import dataclasses
+    import inspect
+
+    from graphnet_tpu.utils.config import (
+        CLASS_REGISTRY,
+        _register_framework_classes,
+    )
+
+    if not CLASS_REGISTRY:
+        _register_framework_classes()
+    name = _CLASS_ALIASES.get(cfg["class_name"], cfg["class_name"])
+    if name not in CLASS_REGISTRY:
+        raise KeyError(
+            f"Reference component {cfg['class_name']!r} has no counterpart "
+            "class in graphnet_tpu"
+        )
+    cls = CLASS_REGISTRY[name]
+    args = {}
+    for k, v in (cfg.get("arguments") or {}).items():
+        if k in _DROP_ARGS:
+            continue
+        tv = _translate(v)
+        args[k] = tv
+
+    # keep only arguments our constructor knows; None means "use default"
+    if dataclasses.is_dataclass(cls):
+        known = {f.name for f in dataclasses.fields(cls)}
+    else:
+        known = set(inspect.signature(cls.__init__).parameters)
+    dropped = {k for k in args if k not in known}
+    args = {
+        k: v for k, v in args.items() if k in known and v is not None
+    }
+    # flax dataclasses want tuples + tuple-ified target label lists
+    for k, v in list(args.items()):
+        if isinstance(v, list):
+            args[k] = _tuplify_lists(v)
+    if "target_labels" in args and isinstance(args["target_labels"], str):
+        args["target_labels"] = (args["target_labels"],)
+    obj = cls(**args)
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"{name}: dropped reference-only arguments {sorted(dropped)}"
+        )
+    return obj
+
+
+def _tuplify_lists(v):
+    if isinstance(v, list):
+        return tuple(_tuplify_lists(x) for x in v)
+    return v
+
+
+def from_reference_config(path: str) -> Tuple[Any, Optional[Any]]:
+    """Instantiate ``(model, graph_definition)`` from a reference
+    ModelConfig YAML (e.g. a pretrained-zoo ``*_config.yml``).
+
+    The reference folds the graph definition into StandardModel; in this
+    framework graph building is host-side, so it is returned separately
+    (None if the config has none).
+    """
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    assert cfg.get("class_name") in ("StandardModel",), (
+        f"expected a StandardModel config, got {cfg.get('class_name')!r}"
+    )
+    arguments = dict(cfg["arguments"])
+    gd_cfg = arguments.pop("graph_definition", None)
+    graph_definition = _translate(gd_cfg) if gd_cfg is not None else None
+    tasks = _translate(arguments.pop("tasks"))
+    backbone = _translate(arguments.pop("backbone"))
+
+    from graphnet_tpu.models.standard_model import StandardModel
+
+    model = StandardModel(backbone=backbone, tasks=tuple(tasks))
+    return model, graph_definition
+
+
+def port_reference_model(
+    config_path: str,
+    state_dict_path: str,
+    example_n_pulses: int = 16,
+) -> Tuple[Any, Optional[Any], Dict[str, Any]]:
+    """One-call bridge: reference config YAML + torch state_dict →
+    ``(model, graph_definition, flax_params)`` ready for
+    :class:`~graphnet_tpu.deployment.deployment_module.DeploymentModule`
+    or :class:`~graphnet_tpu.training.trainer.Trainer`.
+    """
+    import pickle
+
+    import jax
+
+    from graphnet_tpu.batch import make_batch
+
+    model, graph_definition = from_reference_config(config_path)
+    if state_dict_path.endswith((".pth", ".pt")):
+        import torch
+
+        state_dict = torch.load(
+            state_dict_path, map_location="cpu", weights_only=True
+        )
+    else:
+        with open(state_dict_path, "rb") as f:
+            state_dict = pickle.load(f)
+
+    d = model.backbone.nb_inputs
+    rng = np.random.default_rng(0)
+    events = [
+        rng.standard_normal((example_n_pulses, d)).astype(np.float32)
+        for _ in range(2)
+    ]
+    template = model.init(jax.random.PRNGKey(0), make_batch(events))
+    params = port_dynedge_state_dict(state_dict, template)
+    return model, graph_definition, params

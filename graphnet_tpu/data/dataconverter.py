@@ -128,7 +128,11 @@ class DataConverter(Logger):
             output_dir=self._output_dir,
         )
 
-    def _create_file_name(self, input_file_path: str) -> str:
+    def _create_file_name(self, input_file_path) -> str:
+        # I3 readers yield I3FileSet(i3_file, gcd_file) instead of a path
+        input_file_path = getattr(
+            input_file_path, "i3_file", input_file_path
+        )
         file_name = os.path.basename(input_file_path)
         for ext in self._file_reader.accepted_file_extensions:
             if file_name.endswith(ext):

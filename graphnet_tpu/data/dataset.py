@@ -14,6 +14,7 @@ import numpy as np
 
 from graphnet_tpu.models.graphs.graph_definition import Event, GraphDefinition
 from graphnet_tpu.training.labels import Label
+from graphnet_tpu.utils.config import save_config
 
 
 class ColumnMissingException(Exception):
@@ -28,6 +29,7 @@ class Dataset:
     ``_get_event_index`` and ``query_table``.
     """
 
+    @save_config
     def __init__(
         self,
         path: Union[str, List[str]],
@@ -48,6 +50,15 @@ class Dataset:
         seed: Optional[int] = None,
         labels: Optional[Dict[str, Callable]] = None,
     ):
+        if isinstance(selection, dict):
+            # named selections are a *config-level* concept (reference
+            # `utilities/config/dataset_config.py:60-140`): one config,
+            # many datasets
+            raise TypeError(
+                "dict selections build multiple datasets — put the dict in "
+                "a dataset-config YAML and use "
+                "graphnet_tpu.utils.config.load_dataset()"
+            )
         if isinstance(pulsemaps, str):
             pulsemaps = [pulsemaps]
         self._path = path

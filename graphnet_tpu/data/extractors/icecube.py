@@ -400,3 +400,99 @@ class I3TruthExtractor(I3Extractor):
                 "BjorkenY", 1.0 - padding_value
             )
         return output
+
+
+class I3GalacticPlaneHybridRecoExtractor(I3Extractor):
+    """Galactic-plane DNN-cascade hybrid reconstruction variables
+    (reference ``i3hybridrecoextractor.py:11-52``)."""
+
+    _RENAMES = {
+        "zen": "zenith_hybrid",
+        "azi": "azimuth_hybrid",
+        "logE": "energy_hybrid_log",
+    }
+    _KEYS = (
+        "angErr", "angErr_uncorrected", "dec", "dpsi", "energy", "event",
+        "ra", "run", "subevent", "time", "trueDec", "trueE", "trueRa",
+        "true_azi", "true_zen",
+    )
+
+    def __init__(self, extractor_name: str = "dnn_hybrid"):
+        super().__init__(extractor_name)
+
+    def __call__(self, frame) -> Dict[str, Any]:
+        output: Dict[str, Any] = {}
+        key = "DNNCascadeAnalysis_version_001_p00"
+        if key in frame:
+            reco = frame[key]
+            for k in self._KEYS:
+                output[k] = reco[k]
+            for src, dst in self._RENAMES.items():
+                output[dst] = reco[src]
+        return output
+
+
+class I3NTMuonLabelExtractor(I3Extractor):
+    """Muon labels of the Northern-Tracks dataset, padded when absent
+    (reference ``i3ntmuonlabelsextractor.py:11-58``)."""
+
+    _KEYS = (
+        "classification",
+        "classification_ic79",
+        "classification_emuon_deposited",
+        "classification_emuon_entry",
+        "classification_emuon_cascade_energy",
+        "classification_emuon_track_energy",
+        "classification_emuon_track_length",
+        "energy_on_muon_appearance",
+        "ic79_energy_on_muon_appearance",
+        "ic79_classification_emuon_deposited",
+        "ic79_classification_emuon_entry",
+        "ic79_classification_emuon_cascade_energy",
+        "ic79_classification_emuon_track_energy",
+        "ic79_classification_emuon_track_length",
+        "classification_label",
+        "classification_label_ic79",
+        "coincident_muons",
+        "coincident_muons_ic79",
+    )
+
+    def __init__(
+        self,
+        extractor_name: str = "northeren_tracks_muon_labels",
+        padding_value: float = -1,
+    ):
+        super().__init__(extractor_name)
+        self._padding_value = padding_value
+
+    def __call__(self, frame) -> Dict[str, Any]:
+        output: Dict[str, Any] = {}
+        for key in self._KEYS:
+            try:
+                output[key] = frame[key].value
+            except KeyError:
+                output[key] = self._padding_value
+        return output
+
+
+class I3PISAExtractor(I3Extractor):
+    """Quantities required by the PISA oscillation-analysis framework
+    (reference ``i3pisaextractor.py:11-37``)."""
+
+    _KEYS = ("OneWeight", "gen_ratio", "NEvents", "GENIEWeight")
+
+    def __init__(self, extractor_name: str = "pisa_dependencies"):
+        super().__init__(extractor_name)
+
+    def __call__(
+        self, frame, padding_value: float = -1.0
+    ) -> Dict[str, Any]:
+        output = {key: padding_value for key in self._KEYS}
+        if "I3MCWeightDict" in frame:
+            wd = frame["I3MCWeightDict"]
+            for key in self._KEYS:
+                try:
+                    output[key] = wd[key]
+                except KeyError:
+                    pass
+        return output

@@ -229,9 +229,25 @@ class GraphDefinition:
                     if isinstance(value, str) or value is None:
                         continue
                     event.labels[key] = np.asarray(value)
+                    self._maybe_repeat_to_nodes(event, key)
 
         if custom_label_functions is not None:
             for key, fn in custom_label_functions.items():
                 event.labels[key] = np.asarray(fn(event))
+                self._maybe_repeat_to_nodes(event, key)
 
         return event
+
+    def _maybe_repeat_to_nodes(self, event: Event, key: str) -> None:
+        """``repeat_labels=True``: repeat a truth/custom label to node level
+        (reference ``graph_definition.py:463-465`` repeats to
+        ``[n_nodes, d]``; here the per-node copy lands in
+        ``event.node_labels`` so it pads/masks with the nodes and feeds
+        node-level tasks)."""
+        if not self._repeat_labels:
+            return
+        v = np.asarray(event.labels[key])
+        if v.ndim == 0 and v.dtype.kind in "bifu":
+            event.node_labels[key] = np.repeat(
+                np.float32(v), event.x.shape[0]
+            )

@@ -5,11 +5,14 @@ from __future__ import annotations
 
 import numpy as np
 
+from graphnet_tpu.utils.config import save_config
+
 
 class Label:
     """Base label: callable on an Event, stored under ``key``
     (reference ``labels.py:9-31``)."""
 
+    @save_config
     def __init__(self, key: str):
         self._key = key
 
@@ -24,6 +27,7 @@ class Label:
 class Direction(Label):
     """Unit 3-vector from azimuth/zenith (reference ``labels.py:34-70``)."""
 
+    @save_config
     def __init__(
         self,
         key: str = "direction",
@@ -50,6 +54,7 @@ class Direction(Label):
 class Track(Label):
     """1 iff NuMu CC (reference ``labels.py:73-107``)."""
 
+    @save_config
     def __init__(
         self,
         key: str = "track",

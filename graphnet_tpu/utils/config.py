@@ -80,6 +80,11 @@ def _register_framework_classes() -> None:
     import graphnet_tpu.models.transformer.iseecube as iseecube
     import graphnet_tpu.training.loss_functions as losses
 
+    import graphnet_tpu.data.dataset as dataset_mod
+    import graphnet_tpu.data.parquet_dataset as parquet_dataset
+    import graphnet_tpu.data.sqlite_dataset as sqlite_dataset
+    import graphnet_tpu.training.labels as labels
+
     for mod in (
         graphs,
         graph_definition,
@@ -99,6 +104,10 @@ def _register_framework_classes() -> None:
         task_base,
         losses,
         iseecube,
+        dataset_mod,
+        sqlite_dataset,
+        parquet_dataset,
+        labels,
     ):
         for name, obj in vars(mod).items():
             if inspect.isclass(obj) and obj.__module__ == mod.__name__:
@@ -260,6 +269,88 @@ def _tuplify(v):
 
 def save_model_config(model: Any, path: str) -> None:
     capture_config(model).dump(path)
+
+
+# ---------------------------------------------------------------------------
+# Dataset configs (analogue of reference
+# ``utilities/config/dataset_config.py:32``)
+# ---------------------------------------------------------------------------
+
+
+def save_dataset_config(dataset: Any, path: str) -> None:
+    """Dump a dataset (constructor args incl. nested graph definition and
+    label functions) to YAML."""
+    capture_config(dataset).dump(path)
+
+
+def load_dataset(path: str) -> Any:
+    """Rebuild dataset(s) from a dataset-config YAML.
+
+    Mirrors the reference's ``Dataset.from_config`` semantics
+    (``utilities/config/dataset_config.py:60-140``):
+
+      * plain selection → one Dataset;
+      * ``selection: {name: sel}`` dict → ``{name: Dataset}``;
+      * ``selection: {name: [sel, sel, ...]}`` → ``{name: EnsembleDataset}``.
+    """
+    if not CLASS_REGISTRY:
+        _register_framework_classes()
+    cfg = ModelConfig.load(path)
+    selection = cfg.arguments.get("selection")
+    if isinstance(selection, dict):
+        return {
+            name: _build_dataset_with_selection(cfg, sel)
+            for name, sel in selection.items()
+        }
+    return build(cfg)
+
+
+def _build_dataset_with_selection(cfg: ModelConfig, selection: Any) -> Any:
+    from graphnet_tpu.data.dataset import EnsembleDataset
+
+    def one(sel):
+        return build(
+            ModelConfig(
+                class_name=cfg.class_name,
+                arguments={**cfg.arguments, "selection": sel},
+            )
+        )
+
+    # a list of per-dataset selections (each itself a string or id-list)
+    # becomes an ensemble; a flat list of event ids is a single selection
+    if (
+        isinstance(selection, list)
+        and selection
+        and isinstance(selection[0], (list, str))
+    ):
+        return EnsembleDataset([one(s) for s in selection])
+    return one(selection)
+
+
+# ---------------------------------------------------------------------------
+# Training config (analogue of reference
+# ``utilities/config/training_config.py:8``)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    """Training hyper-parameters as data: target(s), early stopping,
+    ``Trainer.fit`` kwargs and dataloader kwargs."""
+
+    target: Any
+    early_stopping_patience: int = 5
+    fit: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    dataloader: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(dataclasses.asdict(self), f, sort_keys=False)
+
+    @classmethod
+    def load(cls, path: str) -> "TrainingConfig":
+        with open(path) as f:
+            return cls(**yaml.safe_load(f))
 
 
 def load_model(path: str) -> Any:

@@ -5,6 +5,18 @@ post [336,256], readout [128], pooling [min,max,mean,sum], batch 128.
 Synthetic Prometheus-like events padded to L=128 (typical low-energy event
 sizes), so the benchmark measures the pure compute path.
 
+Beyond the headline number the detail block carries (VERDICT r1 item 2):
+  * ``roofline``: XLA-measured FLOPs/bytes per step, arithmetic intensity,
+    chip peak (by ``device_kind``) and achieved MFU;
+  * ``tito_l1024``: a second shape — DynEdgeTITO at B=8, L=1024 (Gen2-scale
+    events, attention-dominated);
+  * ``e2e_loader``: end-to-end training throughput with the real
+    SQLiteDataset → DataLoader → PrefetchingLoader pipeline on the bundled
+    Prometheus DB (substantiates "the input pipeline overlaps dispatch");
+  * ``a100_pyg_estimate``: a documented, FLOP-based estimate of the
+    reference's A100+PyG throughput (no A100 here; see
+    docs/architecture.md §2a for the derivation and assumptions).
+
 The reference publishes no numbers and torch_geometric is not installed
 here, so ``vs_baseline`` is measured against an equivalent dense DynEdge
 implemented in torch (CPU, this machine), cached in ``.bench_baseline.json``.
@@ -24,6 +36,42 @@ L = 128
 D = 4
 K = 8
 N_STEPS = 20
+
+# peak specs by device_kind substring: (bf16 TFLOP/s, HBM GB/s)
+# sources: public TPU spec sheets (v4 / v5e / v5p / v6e)
+_CHIP_PEAKS = {
+    "v4": (275.0, 1228.0),
+    "v5 lite": (197.0, 819.0),
+    "v5e": (197.0, 819.0),
+    "v5p": (459.0, 2765.0),
+    "v5": (459.0, 2765.0),
+    "v6 lite": (918.0, 1640.0),
+    "v6e": (918.0, 1640.0),
+}
+
+
+def _chip_peak():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in _CHIP_PEAKS.items():
+        if key in kind:
+            return kind, peaks
+    return kind, (None, None)
+
+
+def _xla_step_cost(jitted, *args):
+    """FLOPs and HBM bytes of one compiled executable, from XLA's own
+    cost model (``compiled.cost_analysis()``)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+        bytes_ = float(cost.get("bytes accessed", float("nan")))
+        return flops, bytes_
+    except Exception:
+        return float("nan"), float("nan")
 
 
 def _synthetic_batch(seed=0):
@@ -103,6 +151,9 @@ def bench_jax(compute_dtype=None) -> dict:
         )
         return params, opt_state, losses[-1]
 
+    # XLA's own cost model for one train step (roofline numerator)
+    step_flops, step_bytes = _xla_step_cost(step, params, opt_state, batch)
+
     # compile + warmup both variants
     params, opt_state, loss = step(params, opt_state, batch)
     jax.block_until_ready(loss)
@@ -129,6 +180,260 @@ def bench_jax(compute_dtype=None) -> dict:
         "step_ms": dt * 1e3,
         "per_dispatch_step_ms": dt_dispatch * 1e3,
         "backend": jax.default_backend(),
+        "step_flops": step_flops,
+        "step_bytes": step_bytes,
+    }
+
+
+def roofline_detail(res: dict) -> dict:
+    """Roofline summary for the headline step (derivation and caveats:
+    docs/architecture.md §2a).
+
+    ``flops`` from XLA's cost model are exact up to fusion bookkeeping;
+    ``bytes accessed`` counts every operand of every op *before* fusion,
+    so it is an upper bound on real HBM traffic (fused intermediates
+    never leave VMEM) — reported as ``logical_bytes``, and the
+    bandwidth-bound classification uses it only as a bound."""
+    kind, (peak_tflops, peak_gbs) = _chip_peak()
+    dt = res["step_ms"] / 1e3
+    flops, bytes_ = res["step_flops"], res["step_bytes"]
+    out = {
+        "device_kind": kind,
+        "flops_per_step": flops,
+        "logical_bytes_per_step": bytes_,
+        "achieved_tflops": (
+            round(flops / dt / 1e12, 1) if np.isfinite(flops) else None
+        ),
+        "peak_bf16_tflops": peak_tflops,
+        "peak_hbm_gbs": peak_gbs,
+    }
+    if np.isfinite(flops) and np.isfinite(bytes_):
+        # logical AI is a lower bound on true AI; with AI << machine
+        # balance the workload is bandwidth/fusion-bound even under
+        # generous fusion assumptions
+        ai = flops / max(bytes_, 1.0)
+        out["arithmetic_intensity_logical"] = round(ai, 1)
+        if peak_tflops and peak_gbs:
+            balance = peak_tflops * 1e12 / (peak_gbs * 1e9)
+            out["machine_balance"] = round(balance, 1)
+            out["bound"] = (
+                "compute" if ai > balance else "bandwidth/fusion"
+            )
+            out["mfu"] = round(flops / dt / (peak_tflops * 1e12), 3)
+    return out
+
+
+def bench_tito_l1024(compute_dtype="bfloat16") -> dict:
+    """Second shape: DynEdgeTITO (DynTrans + attention) at B=8, L=1024 —
+    the Gen2-scale, attention-dominated configuration documented in
+    docs/architecture.md §2."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from graphnet_tpu.batch import make_batch
+    from graphnet_tpu.models.gnn.dynedge_kaggle_tito import DynEdgeTITO
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+
+    Bt, Lt = 8, 1024
+    rng = np.random.default_rng(0)
+    events = [
+        np.concatenate(
+            [
+                rng.standard_normal((Lt, 3)).astype(np.float32) * 2.0,
+                rng.random((Lt, 1)).astype(np.float32),
+            ],
+            axis=1,
+        )
+        for _ in range(Bt)
+    ]
+    labels = {
+        "total_energy": np.abs(
+            rng.standard_normal(Bt).astype(np.float32) * 100 + 200
+        )
+    }
+    batch = jax.device_put(make_batch(events, labels=labels, length=Lt))
+    model = StandardModel(
+        backbone=DynEdgeTITO(nb_inputs=D, compute_dtype=compute_dtype),
+        tasks=(
+            EnergyReconstruction(
+                loss_function=LogCoshLoss(),
+                target_labels=("total_energy",),
+                transform_prediction_and_target=lambda x: jnp.log10(x),
+            ),
+        ),
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+    optimizer = optax.adam(1e-3, eps=1e-3)
+    opt_state = optimizer.init(params)
+
+    n_inner = 10
+
+    @jax.jit
+    def steps(params, opt_state, batch):
+        def one(carry, _):
+            p, o = carry
+
+            def loss_fn(p_):
+                return model.loss(model.apply(p_, batch), batch.labels)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = optimizer.update(grads, o)
+            return (optax.apply_updates(p, updates), o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), None, length=n_inner
+        )
+        return params, opt_state, losses[-1]
+
+    params, opt_state, loss = steps(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        params, opt_state, loss = steps(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / (reps * n_inner)
+    return {
+        "events_per_s": round(Bt / dt, 1),
+        "step_ms": round(dt * 1e3, 2),
+        "batch": Bt,
+        "max_len": Lt,
+    }
+
+
+def bench_e2e_loader(n_epochs: int = 12) -> dict:
+    """End-to-end training throughput: bundled Prometheus SQLite DB →
+    SQLiteDataset → DataLoader → PrefetchingLoader → jitted train step.
+
+    Measures what a user sees (host queries + graph build + padding +
+    device step, host work overlapped by the prefetch thread).  A single
+    padded shape is forced (bucket 128) so the bench compiles once.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+    from graphnet_tpu.data.constants import FEATURES, TRUTH
+    from graphnet_tpu.data.dataloader import DataLoader
+    from graphnet_tpu.data.prefetch import PrefetchingLoader
+    from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
+    from graphnet_tpu.models.detector.prometheus import Prometheus
+    from graphnet_tpu.models.gnn.dynedge import DynEdge
+    from graphnet_tpu.models.graphs import KNNGraph
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+
+    if not os.path.exists(EXAMPLE_SQLITE_DATA):
+        return {"skipped": "no example data"}
+
+    ds = SQLiteDataset(
+        path=EXAMPLE_SQLITE_DATA,
+        graph_definition=KNNGraph(detector=Prometheus()),
+        pulsemaps="total",
+        features=FEATURES.PROMETHEUS,
+        truth=TRUTH.PROMETHEUS,
+        truth_table="mc_truth",
+    )
+    loader = DataLoader(
+        ds,
+        batch_size=25,
+        shuffle=True,
+        seed=0,
+        buckets=(128,),
+        num_workers=4,
+    )
+    model = StandardModel(
+        backbone=DynEdge(nb_inputs=D, compute_dtype="bfloat16"),
+        tasks=(
+            EnergyReconstruction(
+                loss_function=LogCoshLoss(),
+                target_labels=("total_energy",),
+                transform_prediction_and_target=lambda x: jnp.log10(x),
+            ),
+        ),
+    )
+    optimizer = optax.adam(1e-3, eps=1e-3)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            return model.loss_from_batch(model.apply(p, batch), batch)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = opt_state = None
+    n_events = 0
+    loss = None
+    t0 = None
+    for epoch in range(n_epochs):
+        for batch in PrefetchingLoader(loader, prefetch=2):
+            if params is None:
+                params = model.init(jax.random.PRNGKey(0), batch)
+                opt_state = optimizer.init(params)
+            params, opt_state, loss = step(params, opt_state, batch)
+            if t0 is not None:  # epoch 0 = compile + warmup, excluded
+                n_events += batch.batch_size
+        if epoch == 0:
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return {
+        "events_per_s": round(n_events / dt, 1),
+        "n_events": n_events,
+        "epochs_timed": n_epochs - 1,
+        "note": "50-event bundled DB; host pipeline rebuilds graphs "
+        "every epoch (no caching)",
+    }
+
+
+def a100_pyg_estimate(res: dict, baseline_cpu: float) -> dict:
+    """Documented estimate of the reference stack (PyG+torch, A100) on the
+    canonical DynEdge config — the BASELINE.md comparison point that cannot
+    be measured here.  Derivation and assumptions: docs/architecture.md
+    §2a.  Two independent routes, reported as a range:
+
+    (1) FLOP route: sparse-formulation FLOPs per event x assumed PyG GNN
+        MFU on A100 TF32 (5-15%, gather/scatter-bound workloads).
+    (2) Scaling route: measured torch-CPU dense baseline x published
+        A100-vs-server-CPU training speedups for PyG workloads (20-60x).
+    """
+    # sparse FLOP count per event at mean occupancy of the bench batch
+    n = 0.75 * L  # mean valid pulses in the synthetic batch
+    e = K * n
+    d_in = D + 5 + D  # features + global variables
+    conv_dims = [(2 * d_in, 128, 256)] + [(2 * 256, 336, 256)] * 3
+    flops = 0.0
+    for d2, h1, h2 in conv_dims:
+        flops += 2 * e * (d2 * h1 + h1 * h2)  # fwd edge MLPs
+    post_in = d_in + 4 * 256
+    flops += 2 * n * (post_in * 336 + 336 * 256)
+    flops += 2 * (4 * 256) * 128
+    flops *= 3  # fwd + bwd (~2x fwd)
+    # kNN: 5 rebuilds, n^2 distance x small dim (subset<=4) — minor FLOPs
+    flops += 5 * 2 * n * n * 4 * 3
+    tf32_peak = 156e12
+    route1 = [0.05 * tf32_peak / flops, 0.15 * tf32_peak / flops]
+    route2 = [baseline_cpu * 20, baseline_cpu * 60]
+    lo = min(route1[0], route2[0])
+    hi = max(route1[1], route2[1])
+    ours = res["events_per_s"]
+    return {
+        "events_per_s_range": [round(lo, 0), round(hi, 0)],
+        "sparse_flops_per_event": round(flops, 0),
+        "speedup_vs_estimate_range": [
+            round(ours / hi, 1),
+            round(ours / lo, 1),
+        ],
+        "assumptions": "A100 TF32 156 TFLOP/s; PyG GNN MFU 5-15%; "
+        "alt route: torch-CPU measured x20-60",
     }
 
 
@@ -231,6 +536,23 @@ def main() -> None:
         if os.environ.get("BENCH_FP32") == "1"
         else None
     )
+
+    def _section(fn, *args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # a failed side-measurement must not kill
+            return {"error": f"{type(e).__name__}: {e}"}  # the headline
+
+    tito = (
+        _section(bench_tito_l1024)
+        if os.environ.get("BENCH_TITO", "1") != "0"
+        else None
+    )
+    e2e = (
+        _section(bench_e2e_loader)
+        if os.environ.get("BENCH_E2E", "1") != "0"
+        else None
+    )
     print(
         json.dumps(
             {
@@ -257,6 +579,12 @@ def main() -> None:
                     "baseline": "equivalent dense DynEdge, torch CPU, "
                     "this machine",
                     "baseline_events_per_s": round(baseline, 1),
+                    "roofline": _section(roofline_detail, res),
+                    "tito_l1024": tito,
+                    "e2e_loader": e2e,
+                    "a100_pyg_estimate": _section(
+                        a100_pyg_estimate, res, baseline
+                    ),
                 },
             }
         )

@@ -147,9 +147,12 @@ class LenMatchBatchSampler:
 class DataLoader:
     """Iterate a Dataset as padded EventBatches.
 
-    Host-side: queries + graph building run in Python (optionally in torch
-    DataLoader workers via ``num_workers``); padding happens per batch; the
-    returned batches are jnp arrays ready for ``device_put``.
+    Host-side: queries + graph building run in Python — with
+    ``num_workers > 0`` across a thread pool (SQLite and numpy release
+    the GIL); padding happens per batch; the returned batches are jnp
+    arrays ready for ``device_put``.  Wrap in
+    :class:`~graphnet_tpu.data.prefetch.PrefetchingLoader` to overlap
+    all of it with device compute.
     """
 
     def __init__(
@@ -175,6 +178,7 @@ class DataLoader:
         self.bucket_width = bucket_width
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self._pool = None
         self._lengths: Optional[np.ndarray] = None
         # padding-efficiency accounting (valid pulses / padded slots),
         # updated per epoch — padding waste is the cost of the static-
@@ -212,11 +216,28 @@ class DataLoader:
                     continue
                 yield chunk
 
+    def _fetch(self, idxs: List[int]):
+        """Fetch a batch of events, in parallel when ``num_workers>0``.
+
+        Threads, not processes: SQLite queries and the numpy graph build
+        release the GIL for most of their time, and SQLiteDataset keeps
+        per-thread connections (``sqlite_dataset.py``)."""
+        if self.num_workers <= 0:
+            return [self.dataset[i] for i in idxs]
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix="graphnet-loader",
+            )
+        return list(self._pool.map(self.dataset.__getitem__, idxs))
+
     def __iter__(self) -> Iterator[EventBatch]:
         self._valid_slots = 0
         self._total_slots = 0
         for idxs in self._batches():
-            events = [self.dataset[i] for i in idxs]
+            events = self._fetch(idxs)
             batch = collate_events(
                 events,
                 buckets=self.buckets,

@@ -61,6 +61,18 @@ class Dataset:
             )
         if isinstance(pulsemaps, str):
             pulsemaps = [pulsemaps]
+        # `$GRAPHNET` path macro → repo root, so shipped dataset configs
+        # are machine-independent (reference ``dataset.py:192-205``)
+        from graphnet_tpu.constants import GRAPHNET_ROOT_DIR
+
+        def expand(p):
+            return p.replace("$GRAPHNET", GRAPHNET_ROOT_DIR)
+
+        path = (
+            expand(path)
+            if isinstance(path, str)
+            else [expand(p) for p in path]
+        )
         self._path = path
         self._selection: Optional[str] = None
         self._pulsemaps = pulsemaps

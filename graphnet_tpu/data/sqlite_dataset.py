@@ -1,14 +1,17 @@
 """SQLite-backed dataset (mirror of reference
 ``src/graphnet/data/dataset/sqlite/sqlite_dataset.py:11-153``).
 
-Per-worker lazy connections; connections are closed after init so forked
-dataloader workers open their own (the reference's pre-fork close pattern,
-``:133-153``).
+Per-worker lazy connections, held in thread-local storage so prefetch
+threads (``data/prefetch.py``) and ``DataLoader(num_workers=N)`` pool
+threads each open their own (sqlite3 connections are thread-bound);
+connections are closed after init so forked dataloader workers open
+their own too (the reference's pre-fork close pattern, ``:133-153``).
 """
 
 from __future__ import annotations
 
 import sqlite3
+import threading
 from typing import Any, Dict, List, Optional, Union
 
 import numpy as np
@@ -22,16 +25,36 @@ class SQLiteDataset(Dataset):
     def _init(self) -> None:
         if isinstance(self._path, list):
             self._database_list: Optional[List[str]] = self._path
-            self._all_connections: List[sqlite3.Connection] = []
-            self._all_connections_established = False
-            self._current_database: Optional[int] = None
         else:
             self._database_list = None
             assert isinstance(self._path, str)
             assert self._path.endswith(".db"), (
                 f"Unsupported file format: {self._path}"
             )
-        self._conn: Optional[sqlite3.Connection] = None
+
+    # -- per-thread connection state ------------------------------------
+    @property
+    def _tls(self) -> threading.local:
+        tls = self.__dict__.get("_tls_store")
+        if tls is None:
+            tls = threading.local()
+            self.__dict__["_tls_store"] = tls
+        return tls
+
+    @property
+    def _conn(self) -> Optional[sqlite3.Connection]:
+        return getattr(self._tls, "conn", None)
+
+    @_conn.setter
+    def _conn(self, value) -> None:
+        self._tls.conn = value
+
+    def __getstate__(self):
+        # thread-locals (and their connections) cannot cross a process
+        # boundary — drop them; the worker re-opens lazily
+        state = dict(self.__dict__)
+        state.pop("_tls_store", None)
+        return state
 
     def _post_init(self) -> None:
         self._remove_missing_columns()
@@ -109,6 +132,7 @@ class SQLiteDataset(Dataset):
         return int(idx)
 
     def _establish_connection(self, i: int) -> None:
+        tls = self._tls
         if self._database_list is None:
             if self._conn is None:
                 self._conn = sqlite3.connect(self._path)
@@ -117,14 +141,15 @@ class SQLiteDataset(Dataset):
         assert isinstance(idx, (list, tuple)), (
             "multi-database selections must be (event_no, db_index) pairs"
         )
-        if not self._all_connections_established:
-            self._all_connections = [
+        if not getattr(tls, "all_established", False):
+            tls.all_connections = [
                 sqlite3.connect(db) for db in self._database_list
             ]
-            self._all_connections_established = True
-        if self._conn is None or idx[1] != self._current_database:
-            self._conn = self._all_connections[idx[1]]
-            self._current_database = idx[1]
+            tls.all_established = True
+            tls.current_database = None
+        if self._conn is None or idx[1] != tls.current_database:
+            self._conn = tls.all_connections[idx[1]]
+            tls.current_database = idx[1]
 
     def event_lengths(self) -> List[int]:
         """Pulse count per event (for length-matched batching) via one
@@ -152,15 +177,17 @@ class SQLiteDataset(Dataset):
         return [counts.get(int(i), 0) for i in self._indices]
 
     def _close_connection(self) -> None:
+        """Close the *calling thread's* connections."""
+        tls = self._tls
         if self._conn is not None:
             if self._database_list is None:
                 self._conn.close()
             self._conn = None
-        if self._database_list is not None and (
-            self._all_connections_established
+        if self._database_list is not None and getattr(
+            tls, "all_established", False
         ):
-            for con in self._all_connections:
+            for con in tls.all_connections:
                 con.close()
-            self._all_connections = []
-            self._all_connections_established = False
-            self._current_database = None
+            tls.all_connections = []
+            tls.all_established = False
+            tls.current_database = None

@@ -140,20 +140,28 @@ class NodeAsDOMTimeSeries(NodeDefinition):
         max_activations: Optional[int] = None,
     ) -> None:
         self._keys = list(keys)
-        super().__init__(input_feature_names=self._keys)
-        self._id_columns = [self._keys.index(k) for k in id_columns]
-        self._time_index = self._keys.index(time_column)
+        # resolved before super().__init__ — _define_output_feature_names
+        # runs inside it and needs to know whether a synthetic charge
+        # column will be inserted
         self._charge_index = (
             self._keys.index(charge_column)
             if charge_column in self._keys
             else None
         )
+        super().__init__(input_feature_names=self._keys)
+        self._id_columns = [self._keys.index(k) for k in id_columns]
+        self._time_index = self._keys.index(time_column)
         self._max_activations = max_activations
 
     def _define_output_feature_names(
         self, input_feature_names: List[str]
     ) -> List[str]:
-        return list(input_feature_names) + ["new_node_col"]
+        names = list(input_feature_names)
+        if self._charge_index is None:
+            # _construct_nodes inserts a unit charge column when the
+            # detector has none (reference ``nodes.py:269-273``)
+            names.append("charge")
+        return names + ["new_node_col"]
 
     def _construct_nodes(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, np.float64)

@@ -114,6 +114,11 @@ def _register_framework_classes() -> None:
                 register_class(obj, name)
     for name, cls in _DETECTOR_REGISTRY.items():
         register_class(cls, name)
+    # the `Prometheus` alias (= ORCA150SuperDense, reference
+    # `detector/prometheus.py:365`) is not a registry entry of its own
+    import graphnet_tpu.models.detector.prometheus as prom
+
+    register_class(prom.Prometheus, "Prometheus")
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,9 @@ TRAIN_ARGS = {
         "--batch-size",
         "16",
     ],
+    "04_train_from_config.py": ["--max-epochs", "1", "--batch-size", "16"],
+    "05_train_rnn_tito.py": ["--max-epochs", "1", "--batch-size", "8"],
+    "06_train_normalizing_flow.py": ["--max-epochs", "1"],
 }
 
 

@@ -206,6 +206,18 @@ class TestGraphSharding:
                 atol=1e-5,
             )
 
+    def test_collectives_inserted(self):
+        """The sharded step's HLO contains the designed halo exchanges
+        (all-gathers) and gradient all-reduces (docs/architecture.md §4a).
+        Small L keeps the lowering fast; counts are structural, not
+        shape-dependent."""
+        from tests.tools_graph_sharding_hlo import analyze
+
+        ops, ag_bytes = analyze(B=4, L=64)
+        assert ops.get("all-gather", 0) > 0, ops
+        assert ops.get("all-reduce", 0) > 0, ops
+        assert ag_bytes > 0
+
     def test_graph_sharded_loss_matches(self):
         model = _model()
         batch = _batch(B=4, L=32, seed=11)

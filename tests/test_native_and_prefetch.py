@@ -146,3 +146,44 @@ def test_prefetch_through_trainer():
     )
     assert len(history["train_loss"]) == 2
     assert np.isfinite(history["train_loss"]).all()
+
+
+class TestParallelFetch:
+    """DataLoader(num_workers=N): same batches as serial, threads get
+    their own SQLite connections."""
+
+    def test_num_workers_matches_serial(self):
+        import os
+        import numpy as np
+        import pytest
+        from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+        from graphnet_tpu.data.constants import FEATURES, TRUTH
+        from graphnet_tpu.data.dataloader import DataLoader
+        from graphnet_tpu.data.prefetch import PrefetchingLoader
+        from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
+        from graphnet_tpu.models.detector.prometheus import Prometheus
+        from graphnet_tpu.models.graphs import KNNGraph
+
+        if not os.path.exists(EXAMPLE_SQLITE_DATA):
+            pytest.skip("example data not present")
+        ds = SQLiteDataset(
+            path=EXAMPLE_SQLITE_DATA,
+            graph_definition=KNNGraph(detector=Prometheus()),
+            pulsemaps="total",
+            features=FEATURES.PROMETHEUS,
+            truth=TRUTH.PROMETHEUS,
+            truth_table="mc_truth",
+        )
+        serial = list(DataLoader(ds, batch_size=16, shuffle=False))
+        # threaded fetch + prefetch thread on top (stacked thread use)
+        threaded = list(
+            PrefetchingLoader(
+                DataLoader(ds, batch_size=16, shuffle=False, num_workers=4)
+            )
+        )
+        assert len(serial) == len(threaded)
+        for a, b in zip(serial, threaded):
+            np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x))
+            np.testing.assert_array_equal(
+                np.asarray(b.n_pulses), np.asarray(a.n_pulses)
+            )

@@ -258,6 +258,27 @@ class MultiHeadAttention(nn.Module):
             return t.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
+
+        # long sequences without a bias term: Pallas flash attention —
+        # the [B,H,L,L] logits tensor never touches HBM
+        # (ops/flash_attention.py; docs/architecture.md §5)
+        from graphnet_tpu.ops.flash_attention import (
+            flash_attention,
+            supported,
+        )
+
+        if attn_bias is None and supported(L, hd):
+            out = flash_attention(
+                q.astype(jnp.float32),
+                k.astype(jnp.float32),
+                v.astype(jnp.float32),
+                key_padding_mask,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+            if self.dtype is not None:
+                out = out.astype(self.dtype)
+            return nn.Dense(D, dtype=self.dtype, name="out")(out)
+
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.float32(hd))

@@ -182,3 +182,144 @@ class NormalizingFlow(nn.Module):
             x = x * jnp.exp(log_s) + mu
             x = _sinh_arcsinh(x, eps, delta)
         return x
+
+
+class SphericalFlow(nn.Module):
+    """Conditional density on the unit sphere S² for *directional* targets
+    — the physics use case the reference covers via jammy_flows' spherical
+    flows (``normalizing_flow.py:16-158`` with ``jammy_flows`` pdfs).
+
+    The density is a conditional mixture of ``n_components`` von
+    Mises–Fisher distributions whose means, concentrations and weights
+    are predicted from backbone latents:
+
+        p(y | x) = Σ_k w_k(x) · C₃(κ_k(x)) · exp(κ_k(x) μ_k(x)·y)
+
+    Exactly normalised on S² (∫_{S²} p = 1 by construction), exact NLLH,
+    trains through the same ``Trainer`` contract as
+    :class:`NormalizingFlow`.  ``log C₃`` reuses the device-native vMF
+    normaliser of ``training/loss_functions.py``.
+    """
+
+    backbone: GNN
+    target_labels: Tuple[str, ...] = ("direction",)
+    n_components: int = 8
+    condition_columns: Tuple[str, ...] = ()
+
+    def setup(self) -> None:
+        self._cond_norm = nn.LayerNorm(epsilon=1e-5, name="cond_norm")
+        self._cond_0 = nn.Dense(128, name="cond_0")
+        # per component: 3 (mean dir) + 1 (log kappa) + 1 (logit weight)
+        self._cond_1 = nn.Dense(
+            self.n_components * 5,
+            kernel_init=nn.initializers.zeros,
+            name="cond_1",
+        )
+
+    @property
+    def nb_targets(self) -> int:
+        return 3
+
+    def _mixture_params(
+        self, latents: Array
+    ) -> Tuple[Array, Array, Array]:
+        """-> (mu [B,K,3] unit, kappa [B,K] > 0, log_w [B,K])."""
+        B = latents.shape[0]
+        h = self._cond_norm(latents)
+        raw = self._cond_1(nn.relu(self._cond_0(h))).reshape(
+            B, self.n_components, 5
+        )
+        # zero-init head => raw = 0: spread the component means over fixed
+        # distinct anchor directions so the mixture starts near-uniform
+        # but the components are distinguishable (symmetry breaking)
+        anchors = self._anchor_directions(self.n_components)
+        mu = raw[..., 0:3] + anchors[None, :, :]
+        mu = mu / jnp.maximum(
+            jnp.linalg.norm(mu, axis=-1, keepdims=True), 1e-6
+        )
+        # kappa in (0, ~700): softplus keeps gradients alive near 0
+        kappa = jax.nn.softplus(raw[..., 3]) * 10.0 + 1e-3
+        kappa = jnp.minimum(kappa, 700.0)
+        log_w = jax.nn.log_softmax(raw[..., 4], axis=-1)
+        return mu, kappa, log_w
+
+    @staticmethod
+    def _anchor_directions(k: int) -> Array:
+        """k roughly-uniform fixed directions (Fibonacci sphere)."""
+        i = np.arange(k, dtype=np.float64) + 0.5
+        phi = np.pi * (1.0 + np.sqrt(5.0)) * i
+        z = 1.0 - 2.0 * i / k
+        r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+        pts = np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=-1)
+        return jnp.asarray(pts, jnp.float32)
+
+    def _conditioning(self, batch: EventBatch) -> Array:
+        latents = self.backbone(batch)
+        if self.condition_columns:
+            extra = [
+                batch.labels[c].reshape(latents.shape[0], -1)
+                for c in self.condition_columns
+            ]
+            latents = jnp.concatenate([latents] + extra, axis=-1)
+        return latents
+
+    def _log_prob_from_params(
+        self, mu: Array, kappa: Array, log_w: Array, y: Array
+    ) -> Array:
+        """y [B, 3] (unit) -> log p [B]."""
+        from graphnet_tpu.training.loss_functions import log_cmk
+
+        dot = jnp.einsum("bkd,bd->bk", mu, y)
+        comp = log_cmk(3, kappa) + kappa * dot  # [B, K]
+        return jax.nn.logsumexp(log_w + comp, axis=-1)
+
+    def __call__(
+        self, batch: EventBatch, inference: bool = False
+    ) -> Array:
+        mu, kappa, log_w = self._mixture_params(
+            self._conditioning(batch)
+        )
+        label = self.target_labels[0]
+        y = jnp.asarray(batch.labels[label], jnp.float32)
+        y = y / jnp.maximum(
+            jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-6
+        )
+        return -self._log_prob_from_params(mu, kappa, log_w, y)
+
+    # --- Trainer contract ---------------------------------------------
+    def loss_from_batch(self, outputs: Array, batch: EventBatch) -> Array:
+        if batch.event_weight is not None:
+            return jnp.mean(outputs * batch.event_weight)
+        return jnp.mean(outputs)
+
+    @property
+    def prediction_labels(self):
+        return [f"{t}_nllh" for t in self.target_labels]
+
+    @property
+    def tasks(self):
+        return ()
+
+    # --- density interface --------------------------------------------
+    def _log_prob(self, batch: EventBatch, y: Array) -> Array:
+        mu, kappa, log_w = self._mixture_params(
+            self._conditioning(batch)
+        )
+        return self._log_prob_from_params(mu, kappa, log_w, y)
+
+    def log_prob(self, variables, batch: EventBatch, y: Array) -> Array:
+        """log p(y | batch) for unit vectors y ``[B, 3]``."""
+        return self.apply(variables, batch, y, method=self._log_prob)
+
+    def _params_method(self, batch: EventBatch):
+        return self._mixture_params(self._conditioning(batch))
+
+    def mean_direction(self, variables, batch: EventBatch) -> Array:
+        """Mixture mean direction (unit) per event ``[B, 3]``."""
+        mu, kappa, log_w = self.apply(
+            variables, batch, method=self._params_method
+        )
+        m = jnp.einsum("bk,bkd->bd", jnp.exp(log_w), mu)
+        return m / jnp.maximum(
+            jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-6
+        )

@@ -356,18 +356,19 @@ class Trainer(Logger):
                 msg += f" pad_eff={pad_eff:.2f}"
                 epoch_metrics["padding_efficiency"] = pad_eff
             if val_loader is not None:
+                # accumulate on device; single host sync at the end
+                # (per-batch float() would serialise dispatch)
                 val_losses = []
                 counts = []
                 for batch in val_loader:
                     counts.append(batch.batch_size)  # real (pre-pad) count
                     batch = self._shard_batch(batch)
                     val_losses.append(
-                        float(
-                            self._eval_step_fn(self.state.params, batch)
-                        )
+                        self._eval_step_fn(self.state.params, batch)
                     )
+                w = jnp.asarray(counts, jnp.float32)
                 val_loss = float(
-                    np.average(val_losses, weights=counts)
+                    jnp.sum(jnp.stack(val_losses) * w) / jnp.sum(w)
                 )
                 epoch_metrics["val_loss"] = val_loss
                 history["val_loss"].append(val_loss)

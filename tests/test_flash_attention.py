@@ -1,0 +1,101 @@
+"""Flash-attention kernel math vs dense reference (interpret mode on CPU;
+Mosaic lowering is validated separately on the real TPU — CLAUDE.md
+gotcha: interpret mode does not catch tiling rules)."""
+
+import functools
+from unittest import mock
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import graphnet_tpu.ops.flash_attention as fa
+
+
+def dense_reference(q, k, v, mask, scale):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    neg = jnp.finfo(jnp.float32).min
+    logits = jnp.where(mask[:, None, None, :], logits, neg)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    """Run all pallas_calls in interpreter mode for these tests."""
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        fa.pl,
+        "pallas_call",
+        functools.partial(orig, interpret=True),
+    )
+
+
+def _inputs(B=2, H=2, L=256, D=32, seed=0, with_padding=True):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    if with_padding:
+        n_valid = rng.integers(L // 2, L + 1, size=B)
+        mask = jnp.asarray(
+            np.arange(L)[None, :] < n_valid[:, None]
+        )
+    else:
+        mask = jnp.ones((B, L), bool)
+    return q, k, v, mask
+
+
+class TestForward:
+    @pytest.mark.parametrize("with_padding", [False, True])
+    def test_matches_dense(self, with_padding):
+        q, k, v, mask = _inputs(with_padding=with_padding)
+        scale = 1.0 / np.sqrt(q.shape[-1])
+        out = fa.flash_attention(q, k, v, mask)
+        ref = dense_reference(q, k, v, mask, scale)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_padded_queries_finite(self):
+        q, k, v, mask = _inputs()
+        out = fa.flash_attention(q, k, v, mask)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestBackward:
+    def test_grads_match_dense(self):
+        q, k, v, mask = _inputs(B=1, H=2, L=256)
+        scale = 1.0 / np.sqrt(q.shape[-1])
+
+        def loss_flash(q, k, v):
+            o = fa.flash_attention(q, k, v, mask)
+            w = mask[:, None, :, None]
+            return jnp.sum(jnp.where(w, o, 0.0) ** 2)
+
+        def loss_dense(q, k, v):
+            o = dense_reference(q, k, v, mask, scale)
+            w = mask[:, None, :, None]
+            return jnp.sum(jnp.where(w, o, 0.0) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gd, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a),
+                np.asarray(b),
+                rtol=5e-4,
+                atol=5e-5,
+                err_msg=f"d{name}",
+            )
+
+
+def test_supported_gate():
+    assert not fa.supported(128, 32, backend="tpu")  # short seq: dense
+    assert fa.supported(1024, 32, backend="tpu")
+    assert not fa.supported(1024, 32, backend="cpu")
+    assert not fa.supported(1000, 32, backend="tpu")  # not tile-aligned

@@ -144,3 +144,97 @@ def test_flow_trains_via_trainer():
     df = trainer.predict_as_dataframe(loader)
     assert "injection_zenith_nllh" in df.columns
     assert np.isfinite(df["injection_zenith_nllh"].to_numpy()).all()
+
+
+class TestSphericalFlow:
+    """Directional density on S2 (VERDICT r1 item 10): normalisation and
+    learning a known direction."""
+
+    def _setup(self, B=8, seed=0):
+        from graphnet_tpu.models.normalizing_flow import SphericalFlow
+
+        rng = np.random.default_rng(seed)
+        evs = [
+            rng.standard_normal((int(rng.integers(6, 20)), 4)).astype(
+                np.float32
+            )
+            for _ in range(B)
+        ]
+        d = rng.standard_normal((B, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        batch = make_batch(evs, labels={"direction": d}, length=32)
+        flow = SphericalFlow(
+            backbone=DynEdge(nb_inputs=4), n_components=4
+        )
+        params = flow.init(jax.random.PRNGKey(0), batch)
+        return flow, params, batch
+
+    def test_nllh_finite(self):
+        flow, params, batch = self._setup()
+        nllh = flow.apply(params, batch)
+        assert nllh.shape == (8,)
+        assert np.isfinite(np.asarray(nllh)).all()
+
+    def test_density_integrates_to_one(self):
+        """Lebedev-style quadrature over S2: integral of p must be ~1."""
+        flow, params, batch = self._setup()
+        n_theta, n_phi = 64, 128
+        theta = (np.arange(n_theta) + 0.5) * np.pi / n_theta
+        phi = (np.arange(n_phi) + 0.5) * 2 * np.pi / n_phi
+        tt, pp = np.meshgrid(theta, phi, indexing="ij")
+        dirs = np.stack(
+            [
+                np.sin(tt) * np.cos(pp),
+                np.sin(tt) * np.sin(pp),
+                np.cos(tt),
+            ],
+            axis=-1,
+        ).reshape(-1, 3)
+        w = (np.sin(tt) * (np.pi / n_theta) * (2 * np.pi / n_phi)).reshape(
+            -1
+        )
+        B = batch.batch_size
+
+        @jax.jit
+        def lp(y):
+            return flow.log_prob(
+                params, batch, jnp.broadcast_to(y[None, :], (B, 3))
+            )
+
+        total = np.zeros(B)
+        for y, wi in zip(dirs[::1], w):
+            total += wi * np.exp(np.asarray(lp(jnp.asarray(y))))
+        np.testing.assert_allclose(total, 1.0, rtol=2e-2)
+
+    def test_training_concentrates_on_truth(self):
+        import optax
+
+        flow, params, batch = self._setup()
+        opt = optax.adam(3e-3)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            def loss_fn(p):
+                return flow.loss_from_batch(
+                    flow.apply(p, batch), batch
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, state = opt.update(grads, state)
+            return optax.apply_updates(params, upd), state, loss
+
+        first = None
+        for i in range(150):
+            params, state, loss = step(params, state)
+            if first is None:
+                first = float(loss)
+        # NLLH must drop well below the uniform-density level log(4*pi)
+        uniform = float(np.log(4 * np.pi))
+        assert float(loss) < first
+        assert float(loss) < uniform - 0.5, (float(loss), uniform)
+        # mean direction approaches the per-event truth
+        md = np.asarray(flow.mean_direction(params, batch))
+        truth = np.asarray(batch.labels["direction"])
+        cos = np.sum(md * truth, axis=1)
+        assert cos.mean() > 0.8, cos

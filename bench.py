@@ -339,13 +339,10 @@ def bench_e2e_loader(n_epochs: int = 12) -> dict:
         truth=TRUTH.PROMETHEUS,
         truth_table="mc_truth",
     )
+    # batched-SQL fetch path; no thread pool (measured counterproductive
+    # at this 50-event scale — pool dispatch > per-item work)
     loader = DataLoader(
-        ds,
-        batch_size=25,
-        shuffle=True,
-        seed=0,
-        buckets=(128,),
-        num_workers=4,
+        ds, batch_size=25, shuffle=True, seed=0, buckets=(128,)
     )
     model = StandardModel(
         backbone=DynEdge(nb_inputs=D, compute_dtype="bfloat16"),

@@ -217,12 +217,18 @@ class DataLoader:
                 yield chunk
 
     def _fetch(self, idxs: List[int]):
-        """Fetch a batch of events, in parallel when ``num_workers>0``.
+        """Fetch a batch of events.
 
-        Threads, not processes: SQLite queries and the numpy graph build
-        release the GIL for most of their time, and SQLiteDataset keeps
-        per-thread connections (``sqlite_dataset.py``)."""
+        Uses the dataset's batched ``get_events`` (one storage query per
+        table per batch on SQLite); with ``num_workers>0`` the batch is
+        split into per-thread chunks.  Threads, not processes: SQLite
+        queries and the numpy graph build release the GIL, and
+        SQLiteDataset keeps per-thread connections (``sqlite_dataset.py``).
+        """
+        get_events = getattr(self.dataset, "get_events", None)
         if self.num_workers <= 0:
+            if get_events is not None:
+                return get_events(idxs)
             return [self.dataset[i] for i in idxs]
         if self._pool is None:
             from concurrent.futures import ThreadPoolExecutor
@@ -231,6 +237,18 @@ class DataLoader:
                 max_workers=self.num_workers,
                 thread_name_prefix="graphnet-loader",
             )
+        if get_events is not None:
+            chunks = [
+                c.tolist()
+                for c in np.array_split(
+                    np.asarray(idxs), self.num_workers
+                )
+                if len(c)
+            ]
+            out: List = []
+            for part in self._pool.map(get_events, chunks):
+                out.extend(part)
+            return out
         return list(self._pool.map(self.dataset.__getitem__, idxs))
 
     def __iter__(self) -> Iterator[EventBatch]:

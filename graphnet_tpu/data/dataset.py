@@ -175,6 +175,12 @@ class Dataset:
         )
         return self._create_graph(features, truth, node_truth, loss_weight)
 
+    def get_events(self, sequential_indices: List[int]) -> List[Event]:
+        """Fetch several events.  Base implementation loops; backends may
+        override with one batched storage query per table (the DataLoader
+        calls this per batch — ``data/dataloader.py::_fetch``)."""
+        return [self[i] for i in sequential_indices]
+
     # --- internals ---------------------------------------------------------
     def _query(
         self, sequential_index: int

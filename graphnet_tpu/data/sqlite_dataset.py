@@ -191,3 +191,87 @@ class SQLiteDataset(Dataset):
             tls.all_connections = []
             tls.all_established = False
             tls.current_database = None
+
+    # -- batched fetch ---------------------------------------------------
+    def _query_batch(
+        self,
+        table: str,
+        columns: List[str],
+        event_nos: List[int],
+        selection: Optional[str] = None,
+    ) -> Dict[int, np.ndarray]:
+        """One ``WHERE event_no IN (...)`` query, grouped by event with
+        numpy (stable argsort — within-event row order matches the
+        per-event query, both following table scan order)."""
+        cols = ", ".join(columns)
+        sel = f" and {selection}" if selection else ""
+        in_list = ",".join(str(int(e)) for e in event_nos)
+        try:
+            rows = self._conn.execute(
+                f"SELECT {self._index_column}, {cols} FROM {table} "
+                f"WHERE {self._index_column} IN ({in_list}){sel}"
+            ).fetchall()
+        except sqlite3.OperationalError as e:
+            if "no such column" in str(e):
+                raise ColumnMissingException(str(e))
+            raise
+        grouped: Dict[int, np.ndarray] = {}
+        if rows:
+            arr = np.asarray(rows, dtype=np.float64)
+            order = np.argsort(arr[:, 0], kind="stable")
+            arr = arr[order]
+            ev = arr[:, 0]
+            uniq, starts = np.unique(ev, return_index=True)
+            bounds = list(starts) + [len(ev)]
+            for u, s, t in zip(uniq, bounds[:-1], bounds[1:]):
+                grouped[int(u)] = arr[s:t, 1:]
+        empty = np.zeros((0, len(columns)))
+        for e in event_nos:
+            grouped.setdefault(int(e), empty)
+        return grouped
+
+    def get_events(self, sequential_indices: List[int]) -> List[Event]:
+        """Batched fetch: one SQL query per table per batch instead of one
+        per event — the host-pipeline fast path used by the DataLoader.
+
+        Falls back to per-event queries for the configurations where the
+        per-event path carries extra context (multi-database selections,
+        node-level truth, loss-weight tables)."""
+        if (
+            self._database_list is not None
+            or self._node_truth
+            or self._loss_weight_column is not None
+            or not sequential_indices
+        ):
+            return [self[i] for i in sequential_indices]
+        self._establish_connection(sequential_indices[0])
+        event_nos = [
+            self._get_event_index(i) for i in sequential_indices
+        ]
+        feature_groups = [
+            self._query_batch(
+                pm, self._features, event_nos, self._selection
+            )
+            for pm in self._pulsemaps
+        ]
+        # self._truth already leads with the index column; group on it
+        truth_group = self._query_batch(
+            self._truth_table, self._truth[1:], event_nos
+        )
+        events = []
+        for e in event_nos:
+            feats = [g[e] for g in feature_groups if len(g[e])]
+            features = (
+                np.concatenate(feats, axis=0)
+                if feats
+                else np.zeros((0, len(self._features)))
+            )
+            truth_rows = truth_group[e]
+            if len(truth_rows):
+                truth = np.concatenate(
+                    [[float(e)], truth_rows[0]]
+                ).reshape(1, -1)
+            else:
+                truth = np.zeros((1, len(self._truth)))
+            events.append(self._create_graph(features, truth))
+        return events

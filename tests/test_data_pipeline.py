@@ -149,3 +149,39 @@ class TestPercentileClusters:
         assert ev.x.shape[1] == 3 + 3 + 1
         # unique cluster keys
         assert len(np.unique(ev.x[:, :3], axis=0)) == ev.x.shape[0]
+
+
+class TestBatchedFetch:
+    """SQLiteDataset.get_events (one query per table per batch) must
+    reproduce per-event __getitem__ exactly."""
+
+    def test_get_events_matches_getitem(self):
+        import numpy as np
+        from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+        from graphnet_tpu.data.constants import FEATURES, TRUTH
+        from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
+        from graphnet_tpu.models.detector.prometheus import Prometheus
+        from graphnet_tpu.models.graphs import KNNGraph
+
+        ds = SQLiteDataset(
+            path=EXAMPLE_SQLITE_DATA,
+            graph_definition=KNNGraph(detector=Prometheus()),
+            pulsemaps="total",
+            features=FEATURES.PROMETHEUS,
+            truth=TRUTH.PROMETHEUS,
+            truth_table="mc_truth",
+        )
+        idxs = [0, 7, 3, 49, 7]  # unordered, with a duplicate
+        batched = ds.get_events(idxs)
+        assert len(batched) == len(idxs)
+        for i, ev in zip(idxs, batched):
+            ref = ds[i]
+            np.testing.assert_allclose(ev.x, ref.x)
+            assert set(ev.labels) == set(ref.labels)
+            for k in ref.labels:
+                if k == "dataset_path":
+                    continue
+                np.testing.assert_allclose(
+                    np.asarray(ev.labels[k], float),
+                    np.asarray(ref.labels[k], float),
+                )

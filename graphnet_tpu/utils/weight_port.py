@@ -402,5 +402,126 @@ def port_reference_model(
         for _ in range(2)
     ]
     template = model.init(jax.random.PRNGKey(0), make_batch(events))
-    params = port_dynedge_state_dict(state_dict, template)
+    backbone_cls = type(model.backbone).__name__
+    if backbone_cls == "DynEdgeTITO":
+        params = port_tito_state_dict(state_dict, template)
+    else:
+        params = port_dynedge_state_dict(state_dict, template)
     return model, graph_definition, params
+
+
+def port_tito_state_dict(
+    state_dict: Dict[str, Any],
+    template: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Map a reference DynEdgeTITO-StandardModel state_dict onto our flax
+    tree (reference layout: ``gnn/dynedge_kaggle_tito.py:152-175`` +
+    DynTrans at ``components/layers.py:117-197``).
+
+    The 3-way EdgeConvTito first linear ``cat[x_i, x_j-x_i, x_j] @
+    [W1;W2;W3]^T`` linearises to ``self = (W1-W2)^T``,
+    ``nbr = (W2+W3)^T`` (``models/components/layers.py:69-98``); torch's
+    packed ``in_proj_weight`` maps to the combined qkv Dense transposed.
+    """
+    sd = _normalise_keys(state_dict)
+    params = _copy_tree(template)
+    root = params["params"] if "params" in params else params
+    used: set = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    conv_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"backbone\._conv_layers\.(\d+)\.", k))
+        }
+    )
+    assert conv_ids, "no `backbone._conv_layers.*` keys found"
+    for i in conv_ids:
+        p = f"backbone._conv_layers.{i}"
+        conv = root["backbone"][f"conv_{i}"]
+        # EdgeConvTito MLP: nn.0 (3-way first linear), nn.2 (second)
+        w = take(f"{p}.nn.0.weight")
+        b = take(f"{p}.nn.0.bias")
+        d_in = w.shape[1] // 3
+        w1, w2, w3 = (
+            w[:, :d_in],
+            w[:, d_in : 2 * d_in],
+            w[:, 2 * d_in :],
+        )
+        _fill(conv["conv"]["self_dense"], "kernel", (w1 - w2).T)
+        _fill(conv["conv"]["self_dense"], "bias", b)
+        _fill(conv["conv"]["nbr_dense"], "kernel", (w2 + w3).T)
+        _fill(conv["conv"], "out_kernel", take(f"{p}.nn.2.weight").T)
+        _fill(conv["conv"], "out_bias", take(f"{p}.nn.2.bias"))
+        # post-EdgeConv LayerNorm
+        _fill(conv["norm1"], "scale", take(f"{p}.norm1.weight"))
+        _fill(conv["norm1"], "bias", take(f"{p}.norm1.bias"))
+        # transformer encoder layer
+        t = f"{p}._transformer_encoder.layers.0"
+        tr = conv["transformer"]
+        _fill(tr["mha"]["qkv"], "kernel", take(f"{t}.self_attn.in_proj_weight").T)
+        _fill(tr["mha"]["qkv"], "bias", take(f"{t}.self_attn.in_proj_bias"))
+        _fill(tr["mha"]["out"], "kernel", take(f"{t}.self_attn.out_proj.weight").T)
+        _fill(tr["mha"]["out"], "bias", take(f"{t}.self_attn.out_proj.bias"))
+        _fill(tr["linear1"], "kernel", take(f"{t}.linear1.weight").T)
+        _fill(tr["linear1"], "bias", take(f"{t}.linear1.bias"))
+        _fill(tr["linear2"], "kernel", take(f"{t}.linear2.weight").T)
+        _fill(tr["linear2"], "bias", take(f"{t}.linear2.bias"))
+        _fill(tr["norm1"], "scale", take(f"{t}.norm1.weight"))
+        _fill(tr["norm1"], "bias", take(f"{t}.norm1.bias"))
+        _fill(tr["norm2"], "scale", take(f"{t}.norm2.weight"))
+        _fill(tr["norm2"], "bias", take(f"{t}.norm2.bias"))
+
+    for torch_name, flax_name in (
+        ("_post_processing", "post_processing"),
+        ("_readout", "readout"),
+    ):
+        prefix = f"backbone.{torch_name}"
+        lin_ids = sorted(
+            {
+                int(m.group(1))
+                for k in sd
+                if (m := re.match(rf"{re.escape(prefix)}\.(\d+)\.weight$", k))
+                and sd[k].ndim == 2
+            }
+        )
+        for j, lid in enumerate(lin_ids):
+            _fill(
+                root["backbone"][flax_name][f"dense_{j}"],
+                "kernel",
+                take(f"{prefix}.{lid}.weight").T,
+            )
+            _fill(
+                root["backbone"][flax_name][f"dense_{j}"],
+                "bias",
+                take(f"{prefix}.{lid}.bias"),
+            )
+
+    for m in [re.match(r"_tasks\.(\d+)\._affine\.weight$", k) for k in sd]:
+        if m:
+            t = int(m.group(1))
+            _fill(
+                root[f"tasks_{t}"]["affine"],
+                "kernel",
+                take(f"_tasks.{t}._affine.weight").T,
+            )
+            _fill(
+                root[f"tasks_{t}"]["affine"],
+                "bias",
+                take(f"_tasks.{t}._affine.bias"),
+            )
+
+    unused = [
+        k
+        for k in sd
+        if k not in used
+        and ("weight" in k or "bias" in k)
+        and not k.startswith("_graph_definition")
+    ]
+    if unused:
+        raise ValueError(f"unported parameter keys: {unused}")
+    return params

@@ -380,3 +380,132 @@ class TestReferenceConfigTranslation:
             assert model.backbone is not None
             ok += 1
         assert ok == len(paths)
+
+
+class TestPortTITO:
+    """DynEdgeTITO porting with golden activations: the torch side uses
+    torch's own TransformerEncoder (the reference's actual attention
+    implementation, ``components/layers.py:169-177``)."""
+
+    L2 = 24
+
+    def _torch_tito(self, seed=0):
+        torch.manual_seed(seed)
+        D_in = 4
+        SIZES = [(256, 256)] * 4
+
+        class DynTransSim(torch.nn.Module):
+            def __init__(self, d_in):
+                super().__init__()
+                self.nn = torch.nn.Sequential(
+                    torch.nn.Linear(3 * d_in, 256),
+                    torch.nn.LeakyReLU(),
+                    torch.nn.Linear(256, 256),
+                    torch.nn.LeakyReLU(),
+                )
+                self.norm1 = torch.nn.LayerNorm(256, eps=1e-5)
+                layer = torch.nn.TransformerEncoderLayer(
+                    d_model=256,
+                    nhead=8,
+                    batch_first=True,
+                    norm_first=False,
+                )
+                self._transformer_encoder = torch.nn.TransformerEncoder(
+                    layer, num_layers=1
+                )
+
+        class BackboneSim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self._conv_layers = torch.nn.ModuleList()
+                d = D_in
+                for sizes in SIZES:
+                    self._conv_layers.append(DynTransSim(d))
+                    d = sizes[-1]
+                self._post_processing = torch.nn.Sequential(
+                    torch.nn.Linear(256, 336),
+                    torch.nn.LeakyReLU(),
+                    torch.nn.Linear(336, 256),
+                    torch.nn.LeakyReLU(),
+                )
+                # readout input: max-pool (256) + global vars (5 + 4)
+                self._readout = torch.nn.Sequential(
+                    torch.nn.Linear(256 + 9, 256),
+                    torch.nn.LeakyReLU(),
+                    torch.nn.Linear(256, 128),
+                    torch.nn.LeakyReLU(),
+                )
+
+        class TaskSim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self._affine = torch.nn.Linear(128, 1)
+
+        class ModelSim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.backbone = BackboneSim()
+                self._tasks = torch.nn.ModuleList([TaskSim()])
+
+        return ModelSim().eval()
+
+    def _torch_forward(self, model, x):
+        Bq, Lq, Dq = x.shape
+        k = 8
+        d2 = torch.cdist(x.double(), x.double()) ** 2
+        d2 += torch.eye(Lq, dtype=torch.float64)[None] * 1e12
+        idx = d2.topk(k, largest=False).indices
+        h = x
+        for conv in model.backbone._conv_layers:
+            d = h.shape[-1]
+            xj = torch.gather(
+                h[:, :, None, :].expand(Bq, Lq, k, d),
+                1,
+                idx[..., None].expand(Bq, Lq, k, d),
+            )
+            xi = h[:, :, None, :].expand_as(xj)
+            msg = conv.nn(torch.cat([xi, xj - xi, xj], dim=-1))
+            agg = msg.max(2).values
+            h = h + agg if agg.shape[-1] == d else agg
+            h = conv.norm1(h)
+            h = conv._transformer_encoder(h)
+        h = model.backbone._post_processing(h)
+        pooled = h.max(1).values
+        gv = torch.cat(
+            [
+                x.mean(1),
+                torch.zeros(Bq, 4),
+                torch.log10(torch.full((Bq, 1), float(Lq))),
+            ],
+            dim=1,
+        )
+        latents = model.backbone._readout(torch.cat([pooled, gv], dim=1))
+        return model._tasks[0]._affine(latents)
+
+    def test_golden_activations(self):
+        from graphnet_tpu.models.gnn.dynedge_kaggle_tito import DynEdgeTITO
+        from graphnet_tpu.utils.weight_port import port_tito_state_dict
+
+        tmodel = self._torch_tito()
+        rng = np.random.default_rng(1)
+        xs = rng.standard_normal((3, self.L2, 4)).astype(np.float32) * 2.0
+        with torch.no_grad():
+            ref = self._torch_forward(tmodel, torch.from_numpy(xs))
+
+        model = StandardModel(
+            backbone=DynEdgeTITO(nb_inputs=4),
+            tasks=(
+                IdentityTask(
+                    nb_outputs=1,
+                    loss_function=LogCoshLoss(),
+                    target_labels=("total_energy",),
+                ),
+            ),
+        )
+        batch = make_batch([xs[i] for i in range(3)], length=self.L2)
+        template = model.init(jax.random.PRNGKey(0), batch)
+        params = port_tito_state_dict(tmodel.state_dict(), template)
+        (pred, _), = model.apply(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(pred), ref.numpy(), rtol=5e-3, atol=5e-3
+        )

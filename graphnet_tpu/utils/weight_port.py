@@ -319,10 +319,12 @@ def _build_component(cfg: Dict[str, Any]) -> Any:
     args = {
         k: v for k, v in args.items() if k in known and v is not None
     }
-    # flax dataclasses want tuples + tuple-ified target label lists
-    for k, v in list(args.items()):
-        if isinstance(v, list):
-            args[k] = _tuplify_lists(v)
+    # flax dataclasses want tuples; plain classes keep lists (some
+    # concatenate them with list literals, e.g. IceMixNodes)
+    if dataclasses.is_dataclass(cls):
+        for k, v in list(args.items()):
+            if isinstance(v, list):
+                args[k] = _tuplify_lists(v)
     if "target_labels" in args and isinstance(args["target_labels"], str):
         args["target_labels"] = (args["target_labels"],)
     obj = cls(**args)

@@ -268,12 +268,9 @@ class MultiHeadAttention(nn.Module):
         )
 
         if attn_bias is None and supported(L, hd):
-            out = flash_attention(
-                q.astype(jnp.float32),
-                k.astype(jnp.float32),
-                v.astype(jnp.float32),
-                key_padding_mask,
-            )
+            # q/k/v stay at the compute dtype — the kernel runs the MXU
+            # natively (bf16) with fp32 softmax statistics
+            out = flash_attention(q, k, v, key_padding_mask)
             out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
             if self.dtype is not None:
                 out = out.astype(self.dtype)

@@ -49,23 +49,26 @@ def _dot(a, b, dims):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32) * scale  # [TQ, D]
+    # matmul operands stay in the input dtype (bf16 runs the MXU at native
+    # precision); softmax statistics and accumulators are fp32
+    dt = q_ref.dtype
+    q = q_ref[0] * jnp.asarray(scale, dt)  # [TQ, D]
     L = k_ref.shape[1]
     D = q.shape[-1]
     m = jnp.full((TQ, 1), _NEG, jnp.float32)
     l = jnp.zeros((TQ, 1), jnp.float32)
     acc = jnp.zeros((TQ, D), jnp.float32)
     for s in range(L // TS):
-        kc = k_ref[0, s * TS : (s + 1) * TS, :].astype(jnp.float32)
-        vc = v_ref[0, s * TS : (s + 1) * TS, :].astype(jnp.float32)
-        logits = _dot(q, kc, ((1,), (1,)))  # [TQ, TS]
+        kc = k_ref[0, s * TS : (s + 1) * TS, :]
+        vc = v_ref[0, s * TS : (s + 1) * TS, :]
+        logits = _dot(q, kc, ((1,), (1,)))  # [TQ, TS] fp32
         valid = mask_ref[0, 0:1, s * TS : (s + 1) * TS]  # [1, TS]
         logits = jnp.where(valid > 0, logits, _NEG)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         p = jnp.exp(logits - m_new)
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * corr + _dot(p, vc, ((1,), (0,)))
+        acc = acc * corr + _dot(p.astype(dt), vc, ((1,), (0,)))
         m = m_new
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
@@ -105,23 +108,24 @@ def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, mask_ref, lse_ref, g_ref, delta_ref, dq_ref,
     *, scale,
 ):
-    q = q_ref[0].astype(jnp.float32) * scale
-    g = g_ref[0].astype(jnp.float32)  # [TQ, D]
+    dt = q_ref.dtype
+    q = q_ref[0] * jnp.asarray(scale, dt)
+    g = g_ref[0]  # [TQ, D]
     lse = lse_ref[0]  # [TQ, 1]
     delta = delta_ref[0]  # [TQ, 1]
     L = k_ref.shape[1]
     D = q.shape[-1]
     dq = jnp.zeros((TQ, D), jnp.float32)
     for s in range(L // TS):
-        kc = k_ref[0, s * TS : (s + 1) * TS, :].astype(jnp.float32)
-        vc = v_ref[0, s * TS : (s + 1) * TS, :].astype(jnp.float32)
+        kc = k_ref[0, s * TS : (s + 1) * TS, :]
+        vc = v_ref[0, s * TS : (s + 1) * TS, :]
         logits = _dot(q, kc, ((1,), (1,)))
         valid = mask_ref[0, 0:1, s * TS : (s + 1) * TS]  # [1, TS]
         logits = jnp.where(valid > 0, logits, _NEG)
-        p = jnp.exp(logits - lse)  # [TQ, TS]
+        p = jnp.exp(logits - lse)  # [TQ, TS] fp32
         dp = _dot(g, vc, ((1,), (1,)))  # [TQ, TS]
         ds = p * (dp - delta)
-        dq = dq + _dot(ds, kc, ((1,), (0,)))  # [TQ, D]
+        dq = dq + _dot(ds.astype(dt), kc, ((1,), (0,)))  # [TQ, D]
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
@@ -129,8 +133,9 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, mask_ref, lse_ref, g_ref, delta_ref,
     dk_ref, dv_ref, *, scale,
 ):
-    kc = k_ref[0].astype(jnp.float32)  # [TS, D]
-    vc = v_ref[0].astype(jnp.float32)
+    dt = q_ref.dtype
+    kc = k_ref[0]  # [TS, D]
+    vc = v_ref[0]
     si = pl.program_id(1)
     valid = mask_ref[0, 0:1, pl.ds(si * TS, TS)]  # [1, TS]
     L = q_ref.shape[1]
@@ -138,19 +143,19 @@ def _bwd_dkv_kernel(
     dk = jnp.zeros((TS, D), jnp.float32)
     dv = jnp.zeros((TS, D), jnp.float32)
     for t in range(L // TQ):
-        qj = q_ref[0, t * TQ : (t + 1) * TQ, :].astype(jnp.float32) * scale
-        gj = g_ref[0, t * TQ : (t + 1) * TQ, :].astype(jnp.float32)
+        qj = q_ref[0, t * TQ : (t + 1) * TQ, :] * jnp.asarray(scale, dt)
+        gj = g_ref[0, t * TQ : (t + 1) * TQ, :]
         lse = lse_ref[0, t * TQ : (t + 1) * TQ, :]  # [TQ, 1]
         delta = delta_ref[0, t * TQ : (t + 1) * TQ, :]
         logits = _dot(qj, kc, ((1,), (1,)))  # [TQ, TS]
         logits = jnp.where(valid > 0, logits, _NEG)
-        p = jnp.exp(logits - lse)
+        p = jnp.exp(logits - lse)  # fp32
         dp = _dot(gj, vc, ((1,), (1,)))
-        ds = p * (dp - delta)  # [TQ, TS]
+        ds = (p * (dp - delta)).astype(dt)  # [TQ, TS]
         # qj already carries the scale factor, so ds @ qj IS
         # scale * (ds @ q) = dL/dk — no second scale here
         dk = dk + _dot(ds, qj, ((0,), (0,)))  # [TS, D]
-        dv = dv + _dot(p, gj, ((0,), (0,)))
+        dv = dv + _dot(p.astype(dt), gj, ((0,), (0,)))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 

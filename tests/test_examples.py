@@ -25,6 +25,7 @@ TRAIN_ARGS = {
     "05_train_rnn_tito.py": ["--max-epochs", "1", "--batch-size", "8"],
     "06_train_normalizing_flow.py": ["--max-epochs", "1"],
     "07_train_multiclass_from_configs.py": ["--max-epochs", "1"],
+    "01_deploy_model.py": ["--max-epochs", "1", "--batch-size", "16"],
 }
 
 

@@ -99,3 +99,31 @@ def test_supported_gate():
     assert fa.supported(1024, 32, backend="tpu")
     assert not fa.supported(1024, 32, backend="cpu")
     assert not fa.supported(1000, 32, backend="tpu")  # not tile-aligned
+
+
+class TestBf16:
+    def test_bf16_matches_dense_loosely(self):
+        q, k, v, mask = _inputs(B=2, H=2, L=256)
+        qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+        out = fa.flash_attention(qb, kb, vb, mask)
+        assert out.dtype == jnp.bfloat16
+        ref = dense_reference(q, k, v, mask, 1.0 / np.sqrt(32))
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32),
+            np.asarray(ref),
+            rtol=0.05,
+            atol=0.05,
+        )
+
+    def test_bf16_grads_finite(self):
+        q, k, v, mask = _inputs(B=1, H=2, L=256)
+        qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+
+        def loss(q, k, v):
+            return jnp.sum(
+                fa.flash_attention(q, k, v, mask).astype(jnp.float32) ** 2
+            )
+
+        grads = jax.grad(loss, (0, 1, 2))(qb, kb, vb)
+        for g in grads:
+            assert np.isfinite(np.asarray(g, np.float32)).all()

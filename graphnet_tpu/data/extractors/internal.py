@@ -14,13 +14,20 @@ class ParquetExtractor(Extractor):
         self._table = extractor_name
 
     def __call__(self, file_path: str):
-        import pandas as pd
-
-        if self._table in file_path.split("/"):
-            return pd.read_parquet(file_path)
         import os
 
+        import pandas as pd
+
         base = os.path.basename(file_path)
-        if base.startswith(self._table + "_"):
-            return pd.read_parquet(file_path)
-        return None
+        if (
+            self._table not in file_path.split("/")
+            and not base.startswith(self._table + "_")
+        ):
+            return None
+        df = pd.read_parquet(file_path)
+        # chunked-parquet tables index rows by event id
+        # (``data/writers/parquet_writer.py``); downstream consumers
+        # (SQLite conversion) expect it as a column
+        if df.index.name is not None:
+            df = df.reset_index()
+        return df

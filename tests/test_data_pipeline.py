@@ -185,3 +185,68 @@ class TestBatchedFetch:
                     np.asarray(ev.labels[k], float),
                     np.asarray(ref.labels[k], float),
                 )
+
+
+class TestMultiDatabase:
+    """SQLiteDataset over multiple database files: selections are
+    (event_no, db_index) pairs (reference ``sqlite_dataset.py:110-130``)."""
+
+    def _dual(self, tmp_path):
+        import shutil
+        from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+        from graphnet_tpu.data.constants import FEATURES, TRUTH
+        from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
+        from graphnet_tpu.models.detector.prometheus import Prometheus
+        from graphnet_tpu.models.graphs import KNNGraph
+
+        db0 = str(tmp_path / "a.db")
+        db1 = str(tmp_path / "b.db")
+        shutil.copy(EXAMPLE_SQLITE_DATA, db0)
+        shutil.copy(EXAMPLE_SQLITE_DATA, db1)
+        single = SQLiteDataset(
+            path=EXAMPLE_SQLITE_DATA,
+            graph_definition=KNNGraph(detector=Prometheus()),
+            pulsemaps="total",
+            features=FEATURES.PROMETHEUS,
+            truth=TRUTH.PROMETHEUS,
+            truth_table="mc_truth",
+        )
+        event_nos = [int(single._indices[i]) for i in range(4)]
+        selection = [[e, 0] for e in event_nos[:2]] + [
+            [e, 1] for e in event_nos[2:]
+        ]
+        multi = SQLiteDataset(
+            path=[db0, db1],
+            graph_definition=KNNGraph(detector=Prometheus()),
+            pulsemaps="total",
+            features=FEATURES.PROMETHEUS,
+            truth=TRUTH.PROMETHEUS,
+            truth_table="mc_truth",
+            selection=selection,
+        )
+        return single, multi, event_nos
+
+    def test_events_match_single_db(self, tmp_path):
+        import numpy as np
+
+        single, multi, event_nos = self._dual(tmp_path)
+        assert len(multi) == 4
+        for i in range(4):
+            ev_m = multi[i]
+            ev_s = single[i]  # same event numbers, same content
+            np.testing.assert_allclose(ev_m.x, ev_s.x)
+            np.testing.assert_allclose(
+                float(ev_m.labels["total_energy"]),
+                float(ev_s.labels["total_energy"]),
+            )
+
+    def test_event_lengths_and_loader(self, tmp_path):
+        import numpy as np
+        from graphnet_tpu.data.dataloader import DataLoader
+
+        single, multi, _ = self._dual(tmp_path)
+        lengths = multi.event_lengths()
+        assert lengths == [single[i].n_pulses for i in range(4)]
+        batches = list(DataLoader(multi, batch_size=4))
+        assert sum(b.batch_size for b in batches) == 4
+        assert np.isfinite(np.asarray(batches[0].x)).all()

@@ -182,6 +182,11 @@ class Task(nn.Module):
             elements = self.loss_function(
                 pred_flat, target_flat, return_elements=True
             )
+            # elements may be [B*L] or [B*L, d]; reduce to one value per
+            # node so the [B*L] weights pair per-node (a bare broadcast
+            # of [N] against [N, 1] would build an [N, N] outer product
+            # that silently *includes padded nodes* in the mean)
+            elements = elements.reshape(B * L, -1).mean(axis=-1)
             return (
                 jnp.sum(elements * w) / jnp.maximum(jnp.sum(w), 1.0)
                 + reg

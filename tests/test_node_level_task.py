@@ -78,3 +78,33 @@ def test_pulse_level_classification_trains():
         if first is None:
             first = float(loss)
     assert float(loss) < first
+
+
+def test_padded_nodes_excluded_even_when_their_loss_is_nonzero():
+    """Regression: [N,1] loss elements x [N] weights must not
+    outer-product — that silently averaged padded-node losses in (only
+    visible when padded positions carry nonzero per-element loss)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from graphnet_tpu.models.task.task import IdentityTask
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+
+    task = IdentityTask(
+        nb_outputs=1,
+        loss_function=LogCoshLoss(),  # elements come back [N, 1]
+        target_labels=("y",),
+        node_level=True,
+    )
+    pred = jnp.asarray([[[0.3], [-0.2], [50.0], [50.0]]])  # pads huge
+    node_labels = {"y": jnp.asarray([[0.0, 0.0, 0.0, 0.0]])}
+    mask = jnp.asarray([[True, True, False, False]])
+    loss = task.compute_loss(
+        pred, jnp.float32(0.0), {}, node_labels=node_labels, mask=mask
+    )
+
+    def logcosh(x):
+        return x + np.log1p(np.exp(-2 * x)) - np.log(2)
+
+    expected = (logcosh(0.3) + logcosh(0.2)) / 2  # valid nodes only
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)

@@ -49,7 +49,12 @@ class DeploymentModule(Logger):
     def _compile(self):
         import jax
 
-        model = self.model
+        from graphnet_tpu.models.standard_model import (
+            deterministic_clone,
+        )
+
+        # serving is always deterministic (dropout/DropPath off)
+        model = deterministic_clone(self.model)
 
         @jax.jit
         def predict(params, batch):

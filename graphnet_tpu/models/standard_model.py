@@ -23,6 +23,19 @@ from graphnet_tpu.models.task.task import Task
 Array = jax.Array
 
 
+def deterministic_clone(model):
+    """Eval/predict copy of a model with stochastic regularisation
+    disabled — the Lightning ``.eval()`` analogue for static flax config.
+    Param structure is unchanged (the ``deterministic`` flag creates no
+    parameters), so training params apply directly."""
+    backbone = getattr(model, "backbone", None)
+    if backbone is not None and getattr(
+        backbone, "deterministic", True
+    ) is False:
+        return model.clone(backbone=backbone.clone(deterministic=True))
+    return model
+
+
 class StandardModel(nn.Module):
     """Backbone + one or more task heads.
 

@@ -99,6 +99,7 @@ class Trainer(Logger):
         self.seed = seed
         self.state: Optional[TrainState] = None
         self.metric_logger = metric_logger
+        self._dropout_rng = jax.random.PRNGKey(seed + 1)
         self._train_step_fn = None
         self._eval_step_fn = None
         self._predict_fn = None
@@ -190,7 +191,11 @@ class Trainer(Logger):
     # ------------------------------------------------------------------
     def init(self, example_batch: EventBatch) -> TrainState:
         params = self.model.init(
-            jax.random.PRNGKey(self.seed), example_batch
+            {
+                "params": jax.random.PRNGKey(self.seed),
+                "dropout": self._dropout_rng,
+            },
+            example_batch,
         )
         opt_state = self.optimizer.init(params)
         params = self._replicate(params)
@@ -199,15 +204,26 @@ class Trainer(Logger):
         return self.state
 
     def _make_steps(self) -> None:
-        model, optimizer = self.model, self.optimizer
+        from graphnet_tpu.models.standard_model import (
+            deterministic_clone,
+        )
 
-        def loss_fn(params, batch: EventBatch):
-            outputs = model.apply(params, batch)
+        model, optimizer = self.model, self.optimizer
+        eval_model = deterministic_clone(model)
+
+        def loss_fn(params, batch: EventBatch, rng=None):
+            # training passes a "dropout" rng so stochastic
+            # regularisation (Dropout/DropPath with deterministic=False)
+            # works; unused rngs are harmless for deterministic models
+            rngs = {"dropout": rng} if rng is not None else None
+            outputs = model.apply(params, batch, rngs=rngs)
             return model.loss_from_batch(outputs, batch)
 
         @jax.jit
-        def train_step(params, opt_state, batch: EventBatch):
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        def train_step(params, opt_state, batch: EventBatch, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, batch, rng
+            )
             updates, opt_state = optimizer.update(
                 grads, opt_state, params
             )
@@ -216,11 +232,12 @@ class Trainer(Logger):
 
         @jax.jit
         def eval_step(params, batch: EventBatch):
-            return loss_fn(params, batch)
+            outputs = eval_model.apply(params, batch)
+            return eval_model.loss_from_batch(outputs, batch)
 
         @jax.jit
         def predict_step(params, batch: EventBatch):
-            outputs = model.apply(params, batch, inference=True)
+            outputs = eval_model.apply(params, batch, inference=True)
             if not isinstance(outputs, (list, tuple)):
                 # models with a single array output (e.g. NormalizingFlow
                 # returning per-event NLLH)
@@ -302,8 +319,14 @@ class Trainer(Logger):
                     self.init(batch)
                     self._log_param_count()
                 assert self.state is not None
+                step_rng = jax.random.fold_in(
+                    self._dropout_rng, self.state.step
+                )
                 params, opt_state, loss = self._train_step_fn(
-                    self.state.params, self.state.opt_state, batch
+                    self.state.params,
+                    self.state.opt_state,
+                    batch,
+                    step_rng,
                 )
                 self.state = TrainState(
                     params=params,
@@ -547,7 +570,11 @@ class Trainer(Logger):
 
         path = os.path.abspath(path)
         target = self.model.init(
-            jax.random.PRNGKey(self.seed), example_batch
+            {
+                "params": jax.random.PRNGKey(self.seed),
+                "dropout": self._dropout_rng,
+            },
+            example_batch,
         )
         ckptr = ocp.StandardCheckpointer()
         params = ckptr.restore(path, target=jax.device_get(target))
@@ -586,7 +613,11 @@ class Trainer(Logger):
 
         path = os.path.abspath(path)
         params_t = self.model.init(
-            jax.random.PRNGKey(self.seed), example_batch
+            {
+                "params": jax.random.PRNGKey(self.seed),
+                "dropout": self._dropout_rng,
+            },
+            example_batch,
         )
         target = {
             "params": jax.device_get(params_t),

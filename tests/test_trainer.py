@@ -124,3 +124,51 @@ class TestTrainer:
         trainer2.load_checkpoint(ckpt, batch)
         pred2 = trainer2.predict(loader)[0]
         np.testing.assert_allclose(pred1, pred2, rtol=1e-6)
+
+
+class TestStochasticTraining:
+    """Dropout/DropPath with deterministic=False trains through the
+    Trainer (it supplies a per-step "dropout" rng); eval stays
+    deterministic."""
+
+    def test_convnet_with_dropout_trains(self):
+        from graphnet_tpu.batch import make_batch
+        from graphnet_tpu.models.gnn.convnet import ConvNet
+
+        rng = np.random.default_rng(0)
+        events = [
+            rng.standard_normal((int(rng.integers(6, 25)), 4)).astype(
+                np.float32
+            )
+            for _ in range(8)
+        ]
+        labels = {
+            "total_energy": np.abs(
+                rng.standard_normal(8).astype(np.float32) * 100 + 200
+            )
+        }
+        batch = make_batch(events, labels=labels, length=32)
+        model = StandardModel(
+            backbone=ConvNet(
+                nb_inputs=4,
+                nb_outputs_=8,
+                dropout_ratio=0.5,
+                deterministic=False,
+            ),
+            tasks=(
+                EnergyReconstruction(
+                    loss_function=LogCoshLoss(),
+                    target_labels=("total_energy",),
+                    transform_prediction_and_target=lambda x: jnp.log10(
+                        x
+                    ),
+                ),
+            ),
+        )
+        trainer = Trainer(model, learning_rate=1e-3)
+        history = trainer.fit([batch] * 4, max_epochs=2)
+        assert all(np.isfinite(v) for v in history["train_loss"])
+        # prediction path is deterministic (no rngs supplied)
+        p1 = trainer.predict([batch])
+        p2 = trainer.predict([batch])
+        np.testing.assert_array_equal(p1[0], p2[0])

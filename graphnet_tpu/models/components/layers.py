@@ -303,12 +303,17 @@ class TransformerEncoderLayer(nn.Module):
 
     Matches ``torch.nn.TransformerEncoderLayer`` defaults used by DynTrans
     (reference ``layers.py:169-177``): dim_feedforward=2048, relu.
+    ``dropout_rate`` mirrors torch's residual/FFN dropout (torch default
+    0.1; here default 0.0 = the reference's *eval* behaviour — set > 0 and
+    ``deterministic=False`` for training-time regularisation).
     """
 
     num_heads: int
     dim_feedforward: int = 2048
     activation: str = "relu"
     norm_first: bool = False
+    dropout_rate: float = 0.0
+    deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -317,26 +322,38 @@ class TransformerEncoderLayer(nn.Module):
     ) -> jax.Array:
         act = resolve_activation(self.activation)
         D = x.shape[-1]
+
+        def drop(h):
+            if self.dropout_rate == 0.0:
+                return h
+            return nn.Dropout(
+                self.dropout_rate, deterministic=self.deterministic
+            )(h)
+
         if self.norm_first:
             h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-            x = x + MultiHeadAttention(
-                self.num_heads, dtype=self.dtype, name="mha"
-            )(h, key_padding_mask)
+            x = x + drop(
+                MultiHeadAttention(
+                    self.num_heads, dtype=self.dtype, name="mha"
+                )(h, key_padding_mask)
+            )
             h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
             h = nn.Dense(
                 self.dim_feedforward, dtype=self.dtype, name="linear1"
             )(h)
-            h = nn.Dense(D, dtype=self.dtype, name="linear2")(act(h))
-            return x + h
+            h = nn.Dense(D, dtype=self.dtype, name="linear2")(
+                drop(act(h))
+            )
+            return x + drop(h)
         h = MultiHeadAttention(
             self.num_heads, dtype=self.dtype, name="mha"
         )(x, key_padding_mask)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + h)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + drop(h))
         h = nn.Dense(
             self.dim_feedforward, dtype=self.dtype, name="linear1"
         )(x)
-        h = nn.Dense(D, dtype=self.dtype, name="linear2")(act(h))
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+        h = nn.Dense(D, dtype=self.dtype, name="linear2")(drop(act(h)))
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + drop(h))
 
 
 class DynTrans(nn.Module):
@@ -351,6 +368,8 @@ class DynTrans(nn.Module):
     layer_sizes: Sequence[int] = (256, 256, 256)
     aggr: str = "max"
     n_head: int = 8
+    dropout_rate: float = 0.0
+    deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -376,7 +395,11 @@ class DynTrans(nn.Module):
             x = x_out
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = TransformerEncoderLayer(
-            self.n_head, dtype=self.dtype, name="transformer"
+            self.n_head,
+            dropout_rate=self.dropout_rate,
+            deterministic=self.deterministic,
+            dtype=self.dtype,
+            name="transformer",
         )(x, key_padding_mask=mask)
         return x.astype(jnp.float32)
 

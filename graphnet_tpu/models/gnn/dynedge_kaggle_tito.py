@@ -43,6 +43,11 @@ class DynEdgeTITO(GNN):
     readout_layer_sizes: Tuple[int, ...] = (256, 128)
     n_head: int = 8
     nb_neighbours: int = 8
+    # torch TransformerEncoderLayer trains with dropout 0.1; default 0.0
+    # here = reference eval behaviour (set deterministic=False to train
+    # with dropout; the Trainer supplies the rng)
+    dropout_rate: float = 0.0
+    deterministic: bool = True
     # bf16 compute for conv/transformer matmuls (params stay fp32)
     compute_dtype: Optional[str] = None
 
@@ -86,6 +91,8 @@ class DynEdgeTITO(GNN):
                 layer_sizes=(latent_dim,) + tuple(sizes),
                 aggr="max",
                 n_head=self.n_head,
+                dropout_rate=self.dropout_rate,
+                deterministic=self.deterministic,
                 dtype=cdtype,
                 name=f"conv_{i}",
             )(x, mask, idx, edge_mask)

@@ -172,3 +172,45 @@ class TestStochasticTraining:
         p1 = trainer.predict([batch])
         p2 = trainer.predict([batch])
         np.testing.assert_array_equal(p1[0], p2[0])
+
+    def test_tito_transformer_dropout_trains(self):
+        from graphnet_tpu.batch import make_batch
+        from graphnet_tpu.models.gnn.dynedge_kaggle_tito import DynEdgeTITO
+
+        rng = np.random.default_rng(1)
+        events = [
+            rng.standard_normal((int(rng.integers(6, 25)), 4)).astype(
+                np.float32
+            )
+            for _ in range(4)
+        ]
+        labels = {
+            "total_energy": np.abs(
+                rng.standard_normal(4).astype(np.float32) * 100 + 200
+            )
+        }
+        batch = make_batch(events, labels=labels, length=32)
+        model = StandardModel(
+            backbone=DynEdgeTITO(
+                nb_inputs=4,
+                dyntrans_layer_sizes=((32, 32),),
+                n_head=4,
+                dropout_rate=0.1,  # torch's training-time default
+                deterministic=False,
+            ),
+            tasks=(
+                EnergyReconstruction(
+                    loss_function=LogCoshLoss(),
+                    target_labels=("total_energy",),
+                    transform_prediction_and_target=lambda x: jnp.log10(
+                        x
+                    ),
+                ),
+            ),
+        )
+        trainer = Trainer(model, learning_rate=1e-3)
+        history = trainer.fit([batch] * 2, max_epochs=2)
+        assert all(np.isfinite(v) for v in history["train_loss"])
+        p1 = trainer.predict([batch])
+        p2 = trainer.predict([batch])
+        np.testing.assert_array_equal(p1[0], p2[0])

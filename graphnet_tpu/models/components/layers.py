@@ -478,6 +478,22 @@ class AttentionRel(nn.Module):
             return t.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q) * scale, heads(k), heads(v)
+
+        # DeepIce applies the spacetime bias only to the first n_rel
+        # block (`gnn/icemix.py`); the remaining rel-blocks are plain
+        # masked attention — flash-eligible at long L
+        from graphnet_tpu.ops.flash_attention import (
+            flash_attention,
+            supported,
+        )
+
+        if rel_pos_bias is None and supported(q.shape[2], hd):
+            out = flash_attention(
+                q, k, v, key_padding_mask, scale=1.0
+            )  # q already carries the 1/sqrt(hd) scale
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+            return nn.Dense(D, name="proj")(out)
+
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         )

@@ -127,3 +127,33 @@ class TestBf16:
         grads = jax.grad(loss, (0, 1, 2))(qb, kb, vb)
         for g in grads:
             assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+class TestAttentionRelFlashPath:
+    """Unbiased AttentionRel (DeepIce's rel blocks beyond n_rel) must give
+    identical results through the flash path."""
+
+    def test_matches_dense(self, monkeypatch):
+        from graphnet_tpu.models.components.layers import AttentionRel
+
+        rng = np.random.default_rng(0)
+        B, L, D, H = 2, 256, 64, 2
+        x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+        mask = jnp.asarray(
+            np.arange(L)[None, :] < np.asarray([200, 256])[:, None]
+        )
+        attn = AttentionRel(num_heads=H)
+        params = attn.init(
+            jax.random.PRNGKey(0), x, x, x, None, mask
+        )
+        # dense path (flash gate off on CPU)
+        ref = attn.apply(params, x, x, x, None, mask)
+        # force the flash path (pallas runs interpreted via the fixture)
+        monkeypatch.setattr(
+            "graphnet_tpu.ops.flash_attention.supported",
+            lambda *a, **k: True,
+        )
+        out = attn.apply(params, x, x, x, None, mask)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+        )

@@ -104,13 +104,20 @@ class SpacetimeEncoder(nn.Module):
     seq_length: int = 32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        pos = x[:, :, :3]
-        time = x[:, :, 3]
+    def __call__(self, x: Array, x_query: Optional[Array] = None) -> Array:
+        """Pair features between ``x_query`` (default: all of ``x``) and
+        ``x``: ``[B, Lq, L, seq_length]``.  Passing a query *slice* lets
+        long-L attention rebuild the bias tile-by-tile instead of
+        materialising the O(L²·d) tensor (``AttentionRel`` chunked path).
+        """
+        if x_query is None:
+            x_query = x
+        pos_q, time_q = x_query[:, :, :3], x_query[:, :, 3]
+        pos, time = x[:, :, :3], x[:, :, 3]
         c = 3e4 / 500 * 3e-1  # light speed in the scaled units
         interval = jnp.sum(
-            (pos[:, :, None] - pos[:, None, :]) ** 2, axis=-1
-        ) - ((time[:, :, None] - time[:, None, :]) * c) ** 2
+            (pos_q[:, :, None] - pos[:, None, :]) ** 2, axis=-1
+        ) - ((time_q[:, :, None] - time[:, None, :]) * c) ** 2
         four_distance = jnp.sign(interval) * jnp.sqrt(jnp.abs(interval))
         emb = SinusoidalPosEmb(dim=self.seq_length, name="sin_emb")(
             1024.0 * jnp.clip(four_distance, -4.0, 4.0)

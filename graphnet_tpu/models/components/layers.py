@@ -456,6 +456,11 @@ class AttentionRel(nn.Module):
 
     num_heads: int = 8
     qkv_bias: bool = False
+    # >1: rebuild the relative-position features per query tile from a
+    # ``rel_source=(encoder, x0)`` pair instead of consuming a
+    # materialised [B, L, L, hd] tensor — O(L²·hd) memory becomes
+    # O(L²·hd / rel_chunks) peak (long-L DeepIce)
+    rel_chunks: int = 1
 
     @nn.compact
     def __call__(
@@ -465,6 +470,7 @@ class AttentionRel(nn.Module):
         v_in: jax.Array,
         rel_pos_bias: Optional[jax.Array] = None,
         key_padding_mask: Optional[jax.Array] = None,
+        rel_source=None,
     ) -> jax.Array:
         B, L, D = q_in.shape
         H = self.num_heads
@@ -478,6 +484,11 @@ class AttentionRel(nn.Module):
             return t.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q) * scale, heads(k), heads(v)
+
+        if rel_source is not None and rel_pos_bias is None:
+            return self._chunked_rel(
+                q, k, v, rel_source, key_padding_mask, B, L, D, H, hd
+            )
 
         # DeepIce applies the spacetime bias only to the first n_rel
         # block (`gnn/icemix.py`); the remaining rel-blocks are plain
@@ -520,6 +531,43 @@ class AttentionRel(nn.Module):
         out = out.reshape(B, L, D)
         return nn.Dense(D, name="proj")(out)
 
+    def _chunked_rel(
+        self, q, k, v, rel_source, key_padding_mask, B, L, D, H, hd
+    ) -> jax.Array:
+        """Biased attention with the rel features rebuilt per query tile
+        (shared SpacetimeEncoder module — params stay under its original
+        scope).  Exact same math as the materialised path."""
+        encoder, x0 = rel_source
+        n = max(1, min(self.rel_chunks, L))
+        tq = -(-L // n)  # ceil
+        neg = jnp.finfo(jnp.float32).min
+        outs = []
+        for s in range(0, L, tq):
+            e = min(s + tq, L)
+            rel = encoder(x0, x0[:, s:e])  # [B, tq, L, hd]
+            qc = q[:, :, s:e]  # [B, H, tq, hd] (scaled)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", qc, k,
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "bhic,bijc->bhij", qc, rel,
+                preferred_element_type=jnp.float32,
+            )
+            if key_padding_mask is not None:
+                logits = jnp.where(
+                    key_padding_mask[:, None, None, :], logits, neg
+                )
+            attn = jax.nn.softmax(logits, axis=-1)
+            oc = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            oc = oc.transpose(0, 2, 1, 3)  # [B, tq, H, hd]
+            oc = oc + jnp.einsum(
+                "bhij,bijc->bihc", attn, rel,
+                preferred_element_type=jnp.float32,
+            )
+            outs.append(oc)
+        out = jnp.concatenate(outs, axis=1).reshape(B, L, D)
+        return nn.Dense(D, name="proj")(out)
+
 
 class BlockRel(nn.Module):
     """Pre-norm transformer block with relative attention + optional
@@ -530,6 +578,7 @@ class BlockRel(nn.Module):
     drop_path: float = 0.0
     init_values: Optional[float] = None
     deterministic: bool = True
+    rel_chunks: int = 1
 
     @nn.compact
     def __call__(
@@ -537,12 +586,19 @@ class BlockRel(nn.Module):
         x: jax.Array,
         rel_pos_bias: Optional[jax.Array] = None,
         key_padding_mask: Optional[jax.Array] = None,
+        rel_source=None,
     ) -> jax.Array:
         D = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        h = AttentionRel(self.num_heads, qkv_bias=True, name="attn")(
+        h = AttentionRel(
+            self.num_heads,
+            qkv_bias=True,
+            rel_chunks=self.rel_chunks,
+            name="attn",
+        )(
             h, h, h, rel_pos_bias=rel_pos_bias,
             key_padding_mask=key_padding_mask,
+            rel_source=rel_source,
         )
         if self.init_values is not None:
             gamma1 = self.param(

@@ -38,6 +38,10 @@ class DeepIce(GNN):
     include_dynedge: bool = False
     dynedge_args: Optional[Dict[str, Any]] = None
     n_features: int = 6
+    # >1: rebuild the spacetime rel-bias per query tile inside attention
+    # instead of materialising [B, L, L, head_size] — peak memory of the
+    # bias path drops by this factor (use for L >= ~1024)
+    rel_bias_chunks: int = 1
 
     @property
     def nb_outputs(self) -> int:
@@ -60,9 +64,13 @@ class DeepIce(GNN):
             n_features=self.n_features,
             name="fourier_ext",
         )(x0, batch.n_pulses)
-        rel_pos_bias = SpacetimeEncoder(
-            self.head_size, name="rel_pos"
-        )(x0)
+        rel_encoder = SpacetimeEncoder(self.head_size, name="rel_pos")
+        if self.rel_bias_chunks > 1:
+            rel_pos_bias = None
+            rel_source = (rel_encoder, x0)
+        else:
+            rel_pos_bias = rel_encoder(x0)
+            rel_source = None
 
         if self.include_dynedge:
             args = self.dynedge_args or dict(
@@ -86,13 +94,18 @@ class DeepIce(GNN):
         num_heads = self.hidden_dim // self.head_size
         for i in range(self.depth_rel):
             x = BlockRel(
-                num_heads=num_heads, name=f"sandwich_{i}"
+                num_heads=num_heads,
+                rel_chunks=self.rel_bias_chunks,
+                name=f"sandwich_{i}",
             )(
                 x,
                 rel_pos_bias=(
                     rel_pos_bias if i < self.n_rel else None
                 ),
                 key_padding_mask=mask,
+                rel_source=(
+                    rel_source if i < self.n_rel else None
+                ),
             )
 
         # learned cls token (a bias-free Linear's weight in the reference,

@@ -207,3 +207,51 @@ class TestISeeCube:
         out = model.apply(params, batch)
         assert out.shape == (2, 64)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestChunkedRelBias:
+    """DeepIce rel_bias_chunks>1 rebuilds the spacetime bias per query
+    tile — must equal the materialised path exactly (same params)."""
+
+    def test_chunked_equals_materialised(self):
+        evs = kaggle_events()
+        batch = make_batch(evs, length=32)
+        kwargs = dict(
+            hidden_dim=32,
+            seq_length=32,
+            depth=1,
+            depth_rel=2,
+            n_rel=2,  # both rel blocks carry the bias
+            head_size=8,
+            n_features=4,
+        )
+        m1 = DeepIce(**kwargs)
+        m4 = DeepIce(**kwargs, rel_bias_chunks=4)
+        params = m1.init(jax.random.PRNGKey(0), batch)
+        # identical parameter structure: chunked mode adds no params
+        p4 = m4.init(jax.random.PRNGKey(0), batch)
+        t1 = jax.tree_util.tree_structure(params)
+        t4 = jax.tree_util.tree_structure(p4)
+        assert t1 == t4
+        out1 = m1.apply(params, batch)
+        out4 = m4.apply(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(out4), np.asarray(out1), rtol=2e-5, atol=2e-5
+        )
+
+    def test_odd_chunking(self):
+        evs = kaggle_events()
+        batch = make_batch(evs, length=32)
+        kwargs = dict(
+            hidden_dim=32, seq_length=32, depth=1, depth_rel=1,
+            head_size=8, n_features=4,
+        )
+        m1 = DeepIce(**kwargs)
+        m3 = DeepIce(**kwargs, rel_bias_chunks=3)  # 32 % 3 != 0
+        params = m1.init(jax.random.PRNGKey(0), batch)
+        np.testing.assert_allclose(
+            np.asarray(m3.apply(params, batch)),
+            np.asarray(m1.apply(params, batch)),
+            rtol=2e-5,
+            atol=2e-5,
+        )

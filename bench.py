@@ -62,16 +62,19 @@ def _chip_peak():
 
 def _xla_step_cost(jitted, *args):
     """FLOPs and HBM bytes of one compiled executable, from XLA's own
-    cost model (``compiled.cost_analysis()``)."""
+    cost model.  Returns ``(flops, bytes, compiled)``; the compiled
+    executable is reused by the caller's timing loop so the step is not
+    compiled twice (each compile is minutes on a tunneled runtime)."""
     try:
-        cost = jitted.lower(*args).compile().cost_analysis()
+        compiled = jitted.lower(*args).compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", float("nan")))
         bytes_ = float(cost.get("bytes accessed", float("nan")))
-        return flops, bytes_
+        return flops, bytes_, compiled
     except Exception:
-        return float("nan"), float("nan")
+        return float("nan"), float("nan"), None
 
 
 def _synthetic_batch(seed=0):
@@ -151,8 +154,13 @@ def bench_jax(compute_dtype=None) -> dict:
         )
         return params, opt_state, losses[-1]
 
-    # XLA's own cost model for one train step (roofline numerator)
-    step_flops, step_bytes = _xla_step_cost(step, params, opt_state, batch)
+    # XLA's own cost model for one train step (roofline numerator);
+    # the AOT-compiled executable is reused for the dispatch timing below
+    step_flops, step_bytes, step_compiled = _xla_step_cost(
+        step, params, opt_state, batch
+    )
+    if step_compiled is not None:
+        step = step_compiled
 
     # compile + warmup both variants
     params, opt_state, loss = step(params, opt_state, batch)

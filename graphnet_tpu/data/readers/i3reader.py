@@ -72,11 +72,22 @@ class I3Reader(GraphNeTFileReader):
             )
         io = dataio.I3File(file_path.i3_file, "r")
         data = []
+        consecutive_failures = 0
         while io.more():
             try:
                 frame = io.pop_physics()
+                consecutive_failures = 0
             except Exception as e:  # corrupt/truncated frame streams
                 if "I3" in str(e):
+                    # cap retries: a corrupt stream that fails without
+                    # advancing would otherwise spin forever
+                    consecutive_failures += 1
+                    if consecutive_failures > 100:
+                        self.warning(
+                            f"abandoning {file_path.i3_file} after "
+                            "repeated frame decode failures"
+                        )
+                        break
                     continue
                 raise
             if self._skip_frame(frame):

@@ -217,6 +217,9 @@ class SQLiteDataset(Dataset):
             raise
         grouped: Dict[int, np.ndarray] = {}
         if rows:
+            # NULL/TEXT cells cannot take the numeric fast path
+            # (the caller falls back to per-event queries, whose object
+            # arrays GraphDefinition already tolerates)
             arr = np.asarray(rows, dtype=np.float64)
             order = np.argsort(arr[:, 0], kind="stable")
             arr = arr[order]
@@ -248,16 +251,21 @@ class SQLiteDataset(Dataset):
         event_nos = [
             self._get_event_index(i) for i in sequential_indices
         ]
-        feature_groups = [
-            self._query_batch(
-                pm, self._features, event_nos, self._selection
+        try:
+            feature_groups = [
+                self._query_batch(
+                    pm, self._features, event_nos, self._selection
+                )
+                for pm in self._pulsemaps
+            ]
+            # self._truth already leads with the index column; group on it
+            truth_group = self._query_batch(
+                self._truth_table, self._truth[1:], event_nos
             )
-            for pm in self._pulsemaps
-        ]
-        # self._truth already leads with the index column; group on it
-        truth_group = self._query_batch(
-            self._truth_table, self._truth[1:], event_nos
-        )
+        except (TypeError, ValueError):
+            # NULL or TEXT cells in a table: per-event path handles them
+            # (object arrays; GraphDefinition skips str/None truth)
+            return [self[i] for i in sequential_indices]
         events = []
         for e in event_nos:
             feats = [g[e] for g in feature_groups if len(g[e])]

@@ -235,9 +235,14 @@ class MultiHeadAttention(nn.Module):
 
     Matches torch defaults: combined QKV projection, output projection, both
     with bias; scaled dot-product attention with key-padding mask.
+    ``dropout_rate`` is torch's attention-probability dropout
+    (``nn.MultiheadAttention(dropout=...)``); active only with
+    ``deterministic=False``.
     """
 
     num_heads: int
+    dropout_rate: float = 0.0
+    deterministic: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -267,7 +272,14 @@ class MultiHeadAttention(nn.Module):
             supported,
         )
 
-        if attn_bias is None and supported(L, hd):
+        use_attn_dropout = (
+            self.dropout_rate > 0.0 and not self.deterministic
+        )
+        if (
+            attn_bias is None
+            and not use_attn_dropout  # flash path has no prob-dropout
+            and supported(L, hd)
+        ):
             # q/k/v stay at the compute dtype — the kernel runs the MXU
             # natively (bf16) with fp32 softmax statistics
             out = flash_attention(q, k, v, key_padding_mask)
@@ -288,6 +300,10 @@ class MultiHeadAttention(nn.Module):
                 key_padding_mask[:, None, None, :], logits, neg
             )
         attn = jax.nn.softmax(logits, axis=-1)
+        if self.dropout_rate > 0.0:
+            attn = nn.Dropout(
+                self.dropout_rate, deterministic=self.deterministic
+            )(attn)
         if self.dtype is not None:
             # softmax stays fp32 for accuracy; cast the weights back so the
             # value matmul runs at the compute dtype (bf16 MXU path)
@@ -334,7 +350,11 @@ class TransformerEncoderLayer(nn.Module):
             h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
             x = x + drop(
                 MultiHeadAttention(
-                    self.num_heads, dtype=self.dtype, name="mha"
+                    self.num_heads,
+                    dropout_rate=self.dropout_rate,
+                    deterministic=self.deterministic,
+                    dtype=self.dtype,
+                    name="mha",
                 )(h, key_padding_mask)
             )
             h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
@@ -346,7 +366,11 @@ class TransformerEncoderLayer(nn.Module):
             )
             return x + drop(h)
         h = MultiHeadAttention(
-            self.num_heads, dtype=self.dtype, name="mha"
+            self.num_heads,
+            dropout_rate=self.dropout_rate,
+            deterministic=self.deterministic,
+            dtype=self.dtype,
+            name="mha",
         )(x, key_padding_mask)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + drop(h))
         h = nn.Dense(

@@ -166,7 +166,10 @@ class NodeAsDOMTimeSeries(NodeDefinition):
     def _construct_nodes(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, np.float64)
         if x.shape[0] == 0:
-            return np.zeros((0, x.shape[1] + 1), np.float32)
+            # width must match output_feature_names: +1 new_node_col,
+            # +1 synthetic charge when the detector has none
+            extra = 2 if self._charge_index is None else 1
+            return np.zeros((0, x.shape[1] + extra), np.float32)
         if self._charge_index is None:
             charge_index = x.shape[1]
             x = np.insert(x, charge_index, 0.0, axis=1)

@@ -34,7 +34,12 @@ from jax.experimental import pallas as pl
 
 TQ = 128  # query tile
 TS = 128  # key/value chunk
-_NEG = -1e30
+# mask value: large enough that exp(_NEG - lse) underflows to 0 for any
+# realistic lse, small enough that fp32 keeps log(l) alongside it — for a
+# fully-masked row m = _NEG and lse = _NEG + log(L) must NOT round to
+# _NEG, or the backward recompute p = exp(logits - lse) returns 1 per key
+# (an L x gradient spike) instead of the dense path's uniform 1/L
+_NEG = -1e5
 
 
 def _dot(a, b, dims):
@@ -124,7 +129,9 @@ def _bwd_dq_kernel(
         logits = jnp.where(valid > 0, logits, _NEG)
         p = jnp.exp(logits - lse)  # [TQ, TS] fp32
         dp = _dot(g, vc, ((1,), (1,)))  # [TQ, TS]
-        ds = p * (dp - delta)
+        # masked keys carry no gradient through the logits (the dense
+        # path's `where` blocks them); p itself still feeds dv
+        ds = p * (dp - delta) * valid
         dq = dq + _dot(ds.astype(dt), kc, ((1,), (0,)))  # [TQ, D]
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
@@ -151,7 +158,8 @@ def _bwd_dkv_kernel(
         logits = jnp.where(valid > 0, logits, _NEG)
         p = jnp.exp(logits - lse)  # fp32
         dp = _dot(gj, vc, ((1,), (1,)))
-        ds = (p * (dp - delta)).astype(dt)  # [TQ, TS]
+        # see _bwd_dq_kernel: masked keys are gradient-blocked in ds
+        ds = (p * (dp - delta) * valid).astype(dt)  # [TQ, TS]
         # qj already carries the scale factor, so ds @ qj IS
         # scale * (ds @ q) = dL/dk — no second scale here
         dk = dk + _dot(ds, qj, ((0,), (0,)))  # [TS, D]

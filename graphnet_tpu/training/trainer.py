@@ -80,6 +80,7 @@ class Trainer(Logger):
         self.model = model
         self._lr = learning_rate
         self._schedule = schedule
+        self._custom_optimizer = optimizer is not None
         if optimizer is None:
             # reference default: Adam(lr=1e-3, eps=1e-3)
             # (`examples/04_training/01_train_dynedge.py:128-141`).
@@ -105,10 +106,14 @@ class Trainer(Logger):
         self._predict_fn = None
 
     def _current_lr(self) -> float:
-        """Learning rate at the current optimiser step."""
+        """Learning rate at the current optimiser step (NaN when a
+        custom optimizer was supplied without a schedule — the Trainer
+        cannot know its internal rate and must not report a wrong one)."""
         step = self.state.step if self.state is not None else 0
         if self._schedule is not None:
             return float(self._schedule(step))
+        if self._custom_optimizer:
+            return float("nan")
         return float(self._lr)
 
     def _log_metrics(self, metrics: Dict[str, float], step: int) -> None:
@@ -142,9 +147,19 @@ class Trainer(Logger):
         B = batch.batch_size
         rem = B % n
         if rem == 0:
+            # remember the nominal (divisible) batch size so ragged
+            # leftovers can pad straight to an already-compiled shape —
+            # each distinct padded B is otherwise a fresh XLA compile
+            self._nominal_batch_size = max(
+                B, getattr(self, "_nominal_batch_size", 0)
+            )
             return batch
-        pad = n - rem
-        Bp = B + pad
+        nominal = getattr(self, "_nominal_batch_size", 0)
+        if nominal > B:
+            Bp = nominal
+        else:
+            Bp = B + (n - rem)
+        pad = Bp - B
         idx = np.concatenate(
             [np.arange(B), np.full(pad, B - 1, dtype=np.int64)]
         )
@@ -338,18 +353,16 @@ class Trainer(Logger):
                 # sync is the (rare) log-interval print below
                 losses.append(loss)
                 if (i + 1) % log_every_n_steps == 0:
+                    lr = self._current_lr()
+                    lr_txt = f" lr={lr:.3e}" if np.isfinite(lr) else ""
                     self.info(
                         f"epoch {epoch} step {i+1}: "
-                        f"train_loss={float(loss):.4f} "
-                        f"lr={self._current_lr():.3e}"
+                        f"train_loss={float(loss):.4f}{lr_txt}"
                     )
-                    self._log_metrics(
-                        {
-                            "train_loss": float(loss),
-                            "lr": self._current_lr(),
-                        },
-                        step=self.state.step,
-                    )
+                    metrics = {"train_loss": float(loss)}
+                    if np.isfinite(lr):
+                        metrics["lr"] = lr
+                    self._log_metrics(metrics, step=self.state.step)
             # single host sync per epoch
             train_loss = float(jnp.mean(jnp.stack(losses)))
             epoch_time = time.time() - t0
@@ -362,16 +375,19 @@ class Trainer(Logger):
             if last_ckpt is not None:
                 self.save_train_state(last_ckpt, epoch)
 
+            lr = self._current_lr()
+            lr_txt = f", lr={lr:.3e}" if np.isfinite(lr) else ""
             msg = (
                 f"epoch {epoch}: train_loss={train_loss:.4f} "
-                f"({epoch_time:.1f}s, {events_per_s:.0f} events/s, "
-                f"lr={self._current_lr():.3e})"
+                f"({epoch_time:.1f}s, {events_per_s:.0f} events/s"
+                f"{lr_txt})"
             )
             epoch_metrics = {
                 "train_loss": train_loss,
                 "events_per_s": events_per_s,
-                "lr": self._current_lr(),
             }
+            if np.isfinite(lr):
+                epoch_metrics["lr"] = lr
             pad_eff = getattr(
                 train_loader, "padding_efficiency", None
             )

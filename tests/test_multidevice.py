@@ -298,3 +298,20 @@ class TestTrainerOnMesh:
         )
         assert len(df) == n_expected
         assert np.isfinite(df["energy_pred"].to_numpy()).all()
+
+
+@requires_8
+def test_ragged_pads_to_nominal_compiled_shape():
+    """After a full-size batch, ragged leftovers pad to that nominal size
+    (reusing the compiled executable) rather than the next mesh multiple
+    (which would trigger a fresh XLA compile per distinct leftover)."""
+    model = _model()
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    trainer = Trainer(model, mesh=mesh)
+    full = trainer._shard_batch(_batch(B=16, seed=1))
+    assert full.batch_size == 16
+    ragged = trainer._shard_batch(_batch(B=5, seed=2))
+    assert ragged.batch_size == 16  # not 8
+    w = np.asarray(ragged.event_weight)
+    np.testing.assert_allclose(w[:5], 16.0 / 5.0)
+    np.testing.assert_allclose(w[5:], 0.0)

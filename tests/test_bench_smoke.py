@@ -1,0 +1,32 @@
+"""bench.py smoke: every section runs on CPU at toy size and emits the
+fields the driver records (protects the end-of-round bench run from
+regressions — it only executes on the real chip otherwise)."""
+
+import numpy as np
+import pytest
+
+import bench
+
+
+@pytest.fixture()
+def tiny(monkeypatch):
+    monkeypatch.setattr(bench, "B", 8)
+    monkeypatch.setattr(bench, "L", 32)
+    monkeypatch.setattr(bench, "N_STEPS", 2)
+
+
+def test_bench_jax_and_roofline(tiny):
+    res = bench.bench_jax()
+    assert res["events_per_s"] > 0
+    assert np.isfinite(res["step_flops"])
+    roof = bench.roofline_detail(res)
+    assert roof["flops_per_step"] == res["step_flops"]
+    assert "arithmetic_intensity_logical" in roof
+    est = bench.a100_pyg_estimate(res, baseline_cpu=27.6)
+    lo, hi = est["events_per_s_range"]
+    assert 0 < lo < hi
+
+
+def test_bench_e2e_loader_section(tiny):
+    out = bench.bench_e2e_loader(n_epochs=2)
+    assert out.get("events_per_s", 0) > 0 or "skipped" in out

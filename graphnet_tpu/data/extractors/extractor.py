@@ -24,3 +24,28 @@ class Extractor(Logger):
 
     def __call__(self, data: Any):
         raise NotImplementedError
+
+
+class CombinedExtractor(Extractor):
+    """Combine several extractors into one table (mirror of reference
+    ``data/extractors/combine_extractors.py:12-39``).
+
+    All combined extractors must return data on the same level (all
+    event-level or all pulse-level).  Works for any extractor family;
+    ``set_gcd`` is forwarded to members that support it (the I3 case).
+    """
+
+    def __init__(self, extractors: list, extractor_name: str):
+        super().__init__(extractor_name=extractor_name)
+        self._extractors = list(extractors)
+
+    def set_gcd(self, i3_file: str, gcd_file: Any = None) -> None:
+        for extractor in self._extractors:
+            if hasattr(extractor, "set_gcd"):
+                extractor.set_gcd(i3_file, gcd_file)
+
+    def __call__(self, data: Any):
+        output: dict = {}
+        for extractor in self._extractors:
+            output.update(extractor(data))
+        return output

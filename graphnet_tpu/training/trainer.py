@@ -60,6 +60,7 @@ class Trainer(Logger):
         ema_decay: float = 0.999,
         clip_grad_norm: Optional[float] = None,
         metric_logger: Optional[Any] = None,
+        progress_bar: bool = False,
     ) -> None:
         """``averaging``: None, "swa" (equal-weight running average) or
         "ema" — analogue of the reference's StandardAveragedModel
@@ -100,6 +101,10 @@ class Trainer(Logger):
         self.seed = seed
         self.state: Optional[TrainState] = None
         self.metric_logger = metric_logger
+        # tqdm epoch bar (reference's Lightning ProgressBar,
+        # `training/callbacks.py:81`); loss postfix updates only at the
+        # log interval so the hot loop stays sync-free
+        self.progress_bar = progress_bar
         self._dropout_rng = jax.random.PRNGKey(seed + 1)
         self._train_step_fn = None
         self._eval_step_fn = None
@@ -327,7 +332,17 @@ class Trainer(Logger):
             t0 = time.time()
             losses = []
             n_events = 0
-            for i, batch in enumerate(train_loader):
+            iterator = train_loader
+            if self.progress_bar:
+                from tqdm.auto import tqdm
+
+                iterator = tqdm(
+                    train_loader,
+                    desc=f"epoch {epoch}",
+                    unit="batch",
+                    leave=False,
+                )
+            for i, batch in enumerate(iterator):
                 n_events += batch.batch_size
                 batch = self._shard_batch(batch)
                 if self.state is None:
@@ -355,10 +370,15 @@ class Trainer(Logger):
                 if (i + 1) % log_every_n_steps == 0:
                     lr = self._current_lr()
                     lr_txt = f" lr={lr:.3e}" if np.isfinite(lr) else ""
-                    self.info(
-                        f"epoch {epoch} step {i+1}: "
-                        f"train_loss={float(loss):.4f}{lr_txt}"
-                    )
+                    if self.progress_bar:
+                        iterator.set_postfix(
+                            train_loss=f"{float(loss):.4f}", refresh=False
+                        )
+                    else:
+                        self.info(
+                            f"epoch {epoch} step {i+1}: "
+                            f"train_loss={float(loss):.4f}{lr_txt}"
+                        )
                     metrics = {"train_loss": float(loss)}
                     if np.isfinite(lr):
                         metrics["lr"] = lr
@@ -670,6 +690,20 @@ class Trainer(Logger):
         assert self.state is not None
         with open(path, "wb") as f:
             pickle.dump(jax.device_get(self.state.params), f)
+
+    def save_model(self, directory: str) -> None:
+        """Write ``model.yml`` + ``state_dict.pkl`` under ``directory`` —
+        the version-safe config+state-dict pattern (reference
+        ``examples/04_training/01_train_dynedge.py:172-180``), loadable by
+        :class:`~graphnet_tpu.deployment.deployment_module.DeploymentModule`.
+        """
+        import os
+
+        from graphnet_tpu.utils.config import save_model_config
+
+        os.makedirs(directory, exist_ok=True)
+        save_model_config(self.model, os.path.join(directory, "model.yml"))
+        self.save_state_dict(os.path.join(directory, "state_dict.pkl"))
 
     def load_state_dict(self, path: str) -> None:
         import pickle

@@ -75,84 +75,11 @@ def port_dynedge_state_dict(
     root = params["params"] if "params" in params else params
     used: set = set()
 
-    # --- conv layers -----------------------------------------------------
-    conv_ids = sorted(
-        {
-            int(m.group(1))
-            for k in sd
-            if (m := re.match(r"backbone\._conv_layers\.(\d+)\.", k))
-        }
-    )
-    assert conv_ids, (
-        "no `backbone._conv_layers.*` keys found — is this a DynEdge "
-        f"StandardModel state_dict? keys: {sorted(sd)[:5]}..."
-    )
-    for i in conv_ids:
-        prefix = f"backbone._conv_layers.{i}.nn"
-        lin_ids = sorted(
-            {
-                int(m.group(1))
-                for k in sd
-                if (m := re.match(rf"{re.escape(prefix)}\.(\d+)\.weight$", k))
-                and sd[k].ndim == 2  # Linear (LayerNorm weights are 1-D)
-            }
-        )
-        assert lin_ids, f"no linear layers under {prefix}"
-        norm_ids = sorted(
-            {
-                int(m.group(1))
-                for k in sd
-                if (m := re.match(rf"{re.escape(prefix)}\.(\d+)\.weight$", k))
-                and sd[k].ndim == 1
-            }
-        )
-        if norm_ids:
-            raise NotImplementedError(
-                "add_norm_layer DynEdge checkpoints are not supported by "
-                "the porter yet"
-            )
-        conv = root["backbone"][f"conv_{i}"]["conv"]
-        # first linear: split [h, 2d] into self/neighbour terms
-        w = sd[f"{prefix}.{lin_ids[0]}.weight"]
-        b = sd[f"{prefix}.{lin_ids[0]}.bias"]
-        used |= {f"{prefix}.{lin_ids[0]}.weight", f"{prefix}.{lin_ids[0]}.bias"}
-        d_in = w.shape[1] // 2
-        w1, w2 = w[:, :d_in], w[:, d_in:]
-        _fill(conv["self_dense"], "kernel", (w1 - w2).T)
-        _fill(conv["self_dense"], "bias", b)
-        _fill(conv["nbr_dense"], "kernel", w2.T)
-        # remaining linears
-        for j, lid in enumerate(lin_ids[1:]):
-            w = sd[f"{prefix}.{lid}.weight"]
-            b = sd[f"{prefix}.{lid}.bias"]
-            used |= {f"{prefix}.{lid}.weight", f"{prefix}.{lid}.bias"}
-            if "out_kernel" in conv and len(lin_ids) == 2:
-                _fill(conv, "out_kernel", w.T)
-                _fill(conv, "out_bias", b)
-            else:
-                _fill(conv["nn"][f"dense_{j}"], "kernel", w.T)
-                _fill(conv["nn"][f"dense_{j}"], "bias", b)
+    def take(key):
+        used.add(key)
+        return sd[key]
 
-    # --- post-processing / readout MLPs ---------------------------------
-    for torch_name, flax_name in (
-        ("_post_processing", "post_processing"),
-        ("_readout", "readout"),
-    ):
-        prefix = f"backbone.{torch_name}"
-        lin_ids = sorted(
-            {
-                int(m.group(1))
-                for k in sd
-                if (m := re.match(rf"{re.escape(prefix)}\.(\d+)\.weight$", k))
-                and sd[k].ndim == 2
-            }
-        )
-        for j, lid in enumerate(lin_ids):
-            w = sd[f"{prefix}.{lid}.weight"]
-            b = sd[f"{prefix}.{lid}.bias"]
-            used |= {f"{prefix}.{lid}.weight", f"{prefix}.{lid}.bias"}
-            _fill(root["backbone"][flax_name][f"dense_{j}"], "kernel", w.T)
-            _fill(root["backbone"][flax_name][f"dense_{j}"], "bias", b)
+    _port_dynedge_backbone(sd, take, "backbone", root["backbone"])
 
     # --- task heads ------------------------------------------------------
     task_ids = sorted(
@@ -183,6 +110,114 @@ def port_dynedge_state_dict(
             f"unported parameter keys in state_dict: {unused_params}"
         )
     return params
+
+
+def _sequential_positions(sd, prefix):
+    """(linear_positions, norm_positions) of a torch ``Sequential`` under
+    ``prefix`` — Linears have 2-D weights, LayerNorms 1-D."""
+    seq = {}
+    for k in sd:
+        m = re.match(rf"{re.escape(prefix)}\.(\d+)\.weight$", k)
+        if m:
+            seq[int(m.group(1))] = sd[k].ndim
+    lin = sorted(p for p, nd in seq.items() if nd == 2)
+    norm = sorted(p for p, nd in seq.items() if nd == 1)
+    return lin, norm
+
+
+def _port_mlp_head(sd, take, prefix, node) -> None:
+    """Torch ``Sequential([Linear, (LayerNorm), act] * n)`` → our
+    :class:`~graphnet_tpu.models.components.layers.MLP`
+    (``dense_{j}`` / ``norm_{j}``)."""
+    lin_ids, norm_ids = _sequential_positions(sd, prefix)
+    for j, lid in enumerate(lin_ids):
+        _fill(node[f"dense_{j}"], "kernel", take(f"{prefix}.{lid}.weight").T)
+        _fill(node[f"dense_{j}"], "bias", take(f"{prefix}.{lid}.bias"))
+        if norm_ids:
+            nid = norm_ids[j]
+            _fill(node[f"norm_{j}"], "scale", take(f"{prefix}.{nid}.weight"))
+            _fill(node[f"norm_{j}"], "bias", take(f"{prefix}.{nid}.bias"))
+
+
+def _port_dynedge_backbone(sd, take, bb_prefix, bb_node) -> None:
+    """Port a reference DynEdge backbone (``gnn/dynedge.py:190-249``
+    Sequential layout, with or without ``add_norm_layer``) rooted at
+    ``bb_prefix`` in the state_dict onto our flax DynEdge subtree.
+
+    Handles the linearised first EdgeConv layer (see module docstring) and
+    the flax layout differences: with norms the first LayerNorm lives at
+    ``conv.norm_0`` and later ones inside the ``nn`` MLP; without norms
+    2-layer convs use the fused-kernel params ``out_kernel``/``out_bias``.
+    """
+    conv_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (
+                m := re.match(
+                    rf"{re.escape(bb_prefix)}\._conv_layers\.(\d+)\.", k
+                )
+            )
+        }
+    )
+    assert conv_ids, (
+        f"no `{bb_prefix}._conv_layers.*` keys found — is this a DynEdge "
+        f"state_dict? keys: {sorted(sd)[:5]}..."
+    )
+    for i in conv_ids:
+        prefix = f"{bb_prefix}._conv_layers.{i}.nn"
+        lin_ids, norm_ids = _sequential_positions(sd, prefix)
+        assert lin_ids, f"no linear layers under {prefix}"
+        conv = bb_node[f"conv_{i}"]["conv"]
+        # first linear: split [h, 2d] into self/neighbour terms
+        w = take(f"{prefix}.{lin_ids[0]}.weight")
+        b = take(f"{prefix}.{lin_ids[0]}.bias")
+        d_in = w.shape[1] // 2
+        w1, w2 = w[:, :d_in], w[:, d_in:]
+        _fill(conv["self_dense"], "kernel", (w1 - w2).T)
+        _fill(conv["self_dense"], "bias", b)
+        _fill(conv["nbr_dense"], "kernel", w2.T)
+        if norm_ids:
+            _fill(conv["norm_0"], "scale", take(f"{prefix}.{norm_ids[0]}.weight"))
+            _fill(conv["norm_0"], "bias", take(f"{prefix}.{norm_ids[0]}.bias"))
+        # remaining linears (+ norms)
+        for j, lid in enumerate(lin_ids[1:]):
+            w = take(f"{prefix}.{lid}.weight")
+            b = take(f"{prefix}.{lid}.bias")
+            if "out_kernel" in conv and len(lin_ids) == 2 and not norm_ids:
+                _fill(conv, "out_kernel", w.T)
+                _fill(conv, "out_bias", b)
+            else:
+                _fill(conv["nn"][f"dense_{j}"], "kernel", w.T)
+                _fill(conv["nn"][f"dense_{j}"], "bias", b)
+                if norm_ids:
+                    nid = norm_ids[j + 1]
+                    _fill(
+                        conv["nn"][f"norm_{j}"],
+                        "scale",
+                        take(f"{prefix}.{nid}.weight"),
+                    )
+                    _fill(
+                        conv["nn"][f"norm_{j}"],
+                        "bias",
+                        take(f"{prefix}.{nid}.bias"),
+                    )
+
+    for torch_name, flax_name in (
+        ("_post_processing", "post_processing"),
+        ("_readout", "readout"),
+    ):
+        if flax_name not in bb_node:
+            # skip_readout backbones (e.g. inside DeepIce) have no flax
+            # readout, but torch builds `_readout` unconditionally
+            # (`dynedge.py:244-249`) — mark its keys consumed
+            for k in list(sd):
+                if k.startswith(f"{bb_prefix}.{torch_name}."):
+                    take(k)
+            continue
+        _port_mlp_head(
+            sd, take, f"{bb_prefix}.{torch_name}", bb_node[flax_name]
+        )
 
 
 def _copy_tree(tree):
@@ -397,7 +432,14 @@ def port_reference_model(
         with open(state_dict_path, "rb") as f:
             state_dict = pickle.load(f)
 
-    d = model.backbone.nb_inputs
+    d = getattr(model.backbone, "nb_inputs", None)
+    if d is None:
+        # DeepIce consumes raw features directly (FourierEncoder) and,
+        # with include_dynedge, feeds the same columns to the nested
+        # DynEdge (`gnn/icemix.py:135-139`)
+        d = getattr(model.backbone, "n_features", 6)
+        da = getattr(model.backbone, "dynedge_args", None) or {}
+        d = max(d, da.get("nb_inputs", 0))
     rng = np.random.default_rng(0)
     events = [
         rng.standard_normal((example_n_pulses, d)).astype(np.float32)
@@ -407,6 +449,8 @@ def port_reference_model(
     backbone_cls = type(model.backbone).__name__
     if backbone_cls == "DynEdgeTITO":
         params = port_tito_state_dict(state_dict, template)
+    elif backbone_cls == "DeepIce":
+        params = port_deepice_state_dict(state_dict, template)
     else:
         params = port_dynedge_state_dict(state_dict, template)
     return model, graph_definition, params
@@ -503,6 +547,177 @@ def port_tito_state_dict(
                 take(f"{prefix}.{lid}.bias"),
             )
 
+    for m in [re.match(r"_tasks\.(\d+)\._affine\.weight$", k) for k in sd]:
+        if m:
+            t = int(m.group(1))
+            _fill(
+                root[f"tasks_{t}"]["affine"],
+                "kernel",
+                take(f"_tasks.{t}._affine.weight").T,
+            )
+            _fill(
+                root[f"tasks_{t}"]["affine"],
+                "bias",
+                take(f"_tasks.{t}._affine.bias"),
+            )
+
+    unused = [
+        k
+        for k in sd
+        if k not in used
+        and ("weight" in k or "bias" in k)
+        and not k.startswith("_graph_definition")
+    ]
+    if unused:
+        raise ValueError(f"unported parameter keys: {unused}")
+    return params
+
+
+def port_deepice_state_dict(
+    state_dict: Dict[str, Any],
+    template: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Map a reference DeepIce (IceMix) StandardModel state_dict onto our
+    flax tree.
+
+    Reference layout (``gnn/icemix.py:31-167``):
+    ``fourier_ext`` (``embedding.py:53-136``: sin embs + aux ``nn.Embedding``
+    + Linear/LayerNorm/GELU/Linear Sequential), ``rel_pos.projection``,
+    ``sandwich.{i}`` ``Block_rel`` (separate q/k/v projections with detached
+    ``q_bias``/``v_bias`` Parameters, ``layers.py:431-443``), a bias-free
+    ``cls_token`` Linear, ``blocks.{i}`` ``Block`` (packed
+    ``nn.MultiheadAttention`` ``in_proj_weight`` + layer-scale
+    ``gamma_1/gamma_2``), and optionally a nested ``dyn_edge`` DynEdge
+    (``add_norm_layer=True, skip_readout=True``).
+
+    Our ``BlockRel`` always carries q/v biases; when the torch checkpoint
+    has none (``qkv_bias=False``, the DeepIce default) they are filled with
+    zeros — functionally identical.
+    """
+    sd = _normalise_keys(state_dict)
+    params = _copy_tree(template)
+    root = params["params"] if "params" in params else params
+    used: set = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    bb = root["backbone"]
+
+    # --- FourierEncoder --------------------------------------------------
+    fe = bb["fourier_ext"]
+    fp = "backbone.fourier_ext"
+    if f"{fp}.sin_emb.scale" in sd:  # scaled_emb=True checkpoints
+        _fill(fe["sin_emb"], "scale", take(f"{fp}.sin_emb.scale"))
+        _fill(fe["sin_emb2"], "scale", take(f"{fp}.sin_emb2.scale"))
+    if f"{fp}.aux_emb.weight" in sd:  # n_features >= 6
+        _fill(fe["aux_emb"], "embedding", take(f"{fp}.aux_emb.weight"))
+    _fill(fe["mlp_0"], "kernel", take(f"{fp}.mlp.0.weight").T)
+    _fill(fe["mlp_0"], "bias", take(f"{fp}.mlp.0.bias"))
+    _fill(fe["mlp_norm"], "scale", take(f"{fp}.mlp.1.weight"))
+    _fill(fe["mlp_norm"], "bias", take(f"{fp}.mlp.1.bias"))
+    _fill(fe["mlp_1"], "kernel", take(f"{fp}.mlp.3.weight").T)
+    _fill(fe["mlp_1"], "bias", take(f"{fp}.mlp.3.bias"))
+
+    # --- SpacetimeEncoder ------------------------------------------------
+    _fill(
+        bb["rel_pos"]["projection"],
+        "kernel",
+        take("backbone.rel_pos.projection.weight").T,
+    )
+    _fill(
+        bb["rel_pos"]["projection"],
+        "bias",
+        take("backbone.rel_pos.projection.bias"),
+    )
+
+    # --- cls token (bias-free Linear weight, icemix.py:86) ---------------
+    _fill(bb, "cls_token", take("backbone.cls_token.weight"))
+
+    # --- sandwich: Block_rel layers --------------------------------------
+    def norm(dst, p):
+        _fill(dst, "scale", take(f"{p}.weight"))
+        _fill(dst, "bias", take(f"{p}.bias"))
+
+    def mlp(dst, p):
+        _fill(dst["fc1"], "kernel", take(f"{p}.input_projection.weight").T)
+        _fill(dst["fc1"], "bias", take(f"{p}.input_projection.bias"))
+        _fill(dst["fc2"], "kernel", take(f"{p}.output_projection.weight").T)
+        _fill(dst["fc2"], "bias", take(f"{p}.output_projection.bias"))
+
+    sandwich_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"backbone\.sandwich\.(\d+)\.", k))
+        }
+    )
+    assert sandwich_ids, "no `backbone.sandwich.*` keys — not a DeepIce dict?"
+    for i in sandwich_ids:
+        p = f"backbone.sandwich.{i}"
+        blk = bb[f"sandwich_{i}"]
+        norm(blk["norm1"], f"{p}.norm1")
+        norm(blk["norm2"], f"{p}.norm2")
+        attn = blk["attn"]
+        D = sd[f"{p}.attn.proj_q.weight"].shape[0]
+        _fill(attn["proj_q"], "kernel", take(f"{p}.attn.proj_q.weight").T)
+        _fill(attn["proj_k"], "kernel", take(f"{p}.attn.proj_k.weight").T)
+        _fill(attn["proj_v"], "kernel", take(f"{p}.attn.proj_v.weight").T)
+        qb = (
+            take(f"{p}.attn.q_bias")
+            if f"{p}.attn.q_bias" in sd
+            else np.zeros(D, np.float32)
+        )
+        vb = (
+            take(f"{p}.attn.v_bias")
+            if f"{p}.attn.v_bias" in sd
+            else np.zeros(D, np.float32)
+        )
+        _fill(attn["proj_q"], "bias", qb)
+        _fill(attn["proj_v"], "bias", vb)
+        _fill(attn["proj"], "kernel", take(f"{p}.attn.proj.weight").T)
+        _fill(attn["proj"], "bias", take(f"{p}.attn.proj.bias"))
+        mlp(blk["mlp"], f"{p}.mlp")
+
+    # --- blocks: standard Blocks with layer-scale ------------------------
+    block_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"backbone\.blocks\.(\d+)\.", k))
+        }
+    )
+    for i in block_ids:
+        p = f"backbone.blocks.{i}"
+        blk = bb[f"blocks_{i}"]
+        norm(blk["norm1"], f"{p}.norm1")
+        norm(blk["norm2"], f"{p}.norm2")
+        # packed torch in_proj rows [q; k; v] -> our combined qkv Dense
+        # columns (kernel = in_proj_weight^T, split on the last axis)
+        _fill(
+            blk["attn"]["qkv"],
+            "kernel",
+            take(f"{p}.attn.in_proj_weight").T,
+        )
+        _fill(blk["attn"]["qkv"], "bias", take(f"{p}.attn.in_proj_bias"))
+        _fill(
+            blk["attn"]["out"],
+            "kernel",
+            take(f"{p}.attn.out_proj.weight").T,
+        )
+        _fill(blk["attn"]["out"], "bias", take(f"{p}.attn.out_proj.bias"))
+        mlp(blk["mlp"], f"{p}.mlp")
+        _fill(blk, "gamma_1", take(f"{p}.gamma_1"))
+        _fill(blk, "gamma_2", take(f"{p}.gamma_2"))
+
+    # --- optional nested DynEdge (include_dynedge=True) ------------------
+    if any(k.startswith("backbone.dyn_edge.") for k in sd):
+        _port_dynedge_backbone(
+            sd, take, "backbone.dyn_edge", bb["dyn_edge"]
+        )
+
+    # --- task heads ------------------------------------------------------
     for m in [re.match(r"_tasks\.(\d+)\._affine\.weight$", k) for k in sd]:
         if m:
             t = int(m.group(1))

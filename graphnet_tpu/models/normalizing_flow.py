@@ -3,10 +3,15 @@
 
 The reference delegates to the optional ``jammy_flows`` package (Gaussianization
 flows).  Here the flow is native JAX: per target dimension, a stack of
-conditional [affine -> sinh-arcsinh] transforms whose parameters are
+conditional [affine -> elementwise transform] layers whose parameters are
 predicted from the backbone latents (plus optional extra conditioning
-columns).  Both transforms are analytically invertible with closed-form
-log-determinants, so the exact NLLH trains end to end on device.
+columns).  Two transform families (``transform=``): the light
+``"sinh_arcsinh"`` skew/tail family, and ``"spline"`` — monotone
+rational-quadratic splines (arXiv:1906.04032) matching the
+expressiveness of jammy_flows' Gaussianization flows.  All transforms
+are analytically invertible with closed-form log-determinants, so the
+exact NLLH trains end to end on device.  Directional (S²) densities:
+:class:`SphericalFlow`.
 
 Training loss is the mean negative log-likelihood (reference ``:129-145``).
 """
@@ -31,6 +36,117 @@ _LOG_2PI = float(np.log(2.0 * np.pi))
 def _sinh_arcsinh(z: Array, eps: Array, delta: Array) -> Array:
     """x = sinh(delta * arcsinh(z) + eps) — invertible for delta > 0."""
     return jnp.sinh(delta * jnp.arcsinh(z) + eps)
+
+
+# softplus(c) == 1 → zero-init spline derivatives start at slope 1
+_SOFTPLUS_INV_1 = float(np.log(np.e - 1.0))
+
+
+def _rqs_prepare(
+    raw: Array, n_bins: int, bound: float
+) -> Tuple[Array, Array, Array]:
+    """Raw spline params ``[..., 3K-1]`` → (x-edges, y-edges, derivs).
+
+    Monotone rational-quadratic spline on ``[-bound, bound]`` with linear
+    tails (Durkan et al., Neural Spline Flows, arXiv:1906.04032 §3).
+    Zero raw params give uniform bins and unit derivatives — the identity
+    map — so a zero-initialised conditioner starts at the base density.
+    """
+    K = n_bins
+    w, h, d = (
+        raw[..., :K],
+        raw[..., K : 2 * K],
+        raw[..., 2 * K :],
+    )
+    # bin widths/heights: softmax, floored so no bin collapses
+    min_frac = 1e-3
+    widths = jax.nn.softmax(w, axis=-1)
+    widths = min_frac + (1 - min_frac * K) * widths
+    heights = jax.nn.softmax(h, axis=-1)
+    heights = min_frac + (1 - min_frac * K) * heights
+    x_edges = jnp.cumsum(widths, axis=-1) * (2 * bound) - bound
+    x_edges = jnp.concatenate(
+        [jnp.full_like(x_edges[..., :1], -bound), x_edges], axis=-1
+    )
+    y_edges = jnp.cumsum(heights, axis=-1) * (2 * bound) - bound
+    y_edges = jnp.concatenate(
+        [jnp.full_like(y_edges[..., :1], -bound), y_edges], axis=-1
+    )
+    # interior derivatives > 0; boundary derivatives pinned to 1 so the
+    # spline meets the identity tails C¹-continuously
+    d_in = jax.nn.softplus(d + _SOFTPLUS_INV_1)  # > 0; == 1 at d == 0
+    ones = jnp.ones_like(d_in[..., :1])
+    derivs = jnp.concatenate([ones, d_in, ones], axis=-1)  # [..., K+1]
+    return x_edges, y_edges, derivs
+
+
+def _rqs_bin_quantities(edges_x, edges_y, derivs, idx):
+    take = lambda t, i: jnp.take_along_axis(t, i[..., None], axis=-1)[
+        ..., 0
+    ]
+    x_k = take(edges_x, idx)
+    x_k1 = take(edges_x, idx + 1)
+    y_k = take(edges_y, idx)
+    y_k1 = take(edges_y, idx + 1)
+    d_k = take(derivs, idx)
+    d_k1 = take(derivs, idx + 1)
+    dx = x_k1 - x_k
+    s = (y_k1 - y_k) / dx
+    return x_k, y_k, dx, y_k1 - y_k, s, d_k, d_k1
+
+
+def _rqs_forward_and_logdet(
+    z: Array, raw: Array, n_bins: int, bound: float
+) -> Tuple[Array, Array]:
+    """Elementwise spline forward x = f(z) and log|df/dz|."""
+    ex, ey, dv = _rqs_prepare(raw, n_bins, bound)
+    inside = (z > -bound) & (z < bound)
+    zc = jnp.clip(z, -bound, bound)
+    idx = jnp.clip(
+        jnp.sum(zc[..., None] > ex[..., 1:-1], axis=-1), 0, n_bins - 1
+    )
+    x_k, y_k, dx, dy, s, d_k, d_k1 = _rqs_bin_quantities(ex, ey, dv, idx)
+    xi = jnp.clip((zc - x_k) / dx, 0.0, 1.0)
+    om = 1.0 - xi
+    denom = s + (d_k1 + d_k - 2.0 * s) * xi * om
+    x = y_k + dy * (s * xi * xi + d_k * xi * om) / denom
+    deriv = (
+        s * s * (d_k1 * xi * xi + 2.0 * s * xi * om + d_k * om * om)
+    ) / (denom * denom)
+    x = jnp.where(inside, x, z)
+    logdet = jnp.where(inside, jnp.log(deriv), 0.0)
+    return x, logdet
+
+
+def _rqs_inverse_and_logdet(
+    x: Array, raw: Array, n_bins: int, bound: float
+) -> Tuple[Array, Array]:
+    """Elementwise spline inverse z = f⁻¹(x) and log|dz/dx|."""
+    ex, ey, dv = _rqs_prepare(raw, n_bins, bound)
+    inside = (x > -bound) & (x < bound)
+    xc = jnp.clip(x, -bound, bound)
+    idx = jnp.clip(
+        jnp.sum(xc[..., None] > ey[..., 1:-1], axis=-1), 0, n_bins - 1
+    )
+    x_k, y_k, dx, dy, s, d_k, d_k1 = _rqs_bin_quantities(ex, ey, dv, idx)
+    r = xc - y_k
+    t = d_k1 + d_k - 2.0 * s
+    a = dy * (s - d_k) + r * t
+    b = dy * d_k - r * t
+    c = -s * r
+    disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+    xi = jnp.clip(
+        2.0 * c / (-b - jnp.sqrt(disc) - 1e-12), 0.0, 1.0
+    )
+    om = 1.0 - xi
+    z = x_k + xi * dx
+    denom = s + t * xi * om
+    deriv = (
+        s * s * (d_k1 * xi * xi + 2.0 * s * xi * om + d_k * om * om)
+    ) / (denom * denom)
+    z = jnp.where(inside, z, x)
+    logdet = jnp.where(inside, -jnp.log(deriv), 0.0)
+    return z, logdet
 
 
 def _sinh_arcsinh_inv_and_logdet(
@@ -61,6 +177,22 @@ class NormalizingFlow(nn.Module):
     target_labels: Tuple[str, ...] = ("energy",)
     n_layers: int = 3
     condition_columns: Tuple[str, ...] = ()
+    # per-layer elementwise transform after the conditional affine:
+    #   "sinh_arcsinh" — 2-param skew/tail family (light, default)
+    #   "spline"       — K-bin rational-quadratic spline (arXiv:1906.04032),
+    #                    the richer family matching jammy_flows'
+    #                    Gaussianization-flow expressiveness
+    transform: str = "sinh_arcsinh"
+    spline_bins: int = 8
+    spline_bound: float = 4.0
+
+    @property
+    def _params_per_dim(self) -> int:
+        if self.transform == "spline":
+            # 2 affine + K widths + K heights + (K-1) interior derivatives
+            return 2 + 3 * self.spline_bins - 1
+        assert self.transform == "sinh_arcsinh", self.transform
+        return 4
 
     def setup(self) -> None:
         # defined in setup() (not @compact) so log_prob/sample can run as
@@ -70,13 +202,13 @@ class NormalizingFlow(nn.Module):
         self._cond_norm = nn.LayerNorm(epsilon=1e-5, name="cond_norm")
         self._cond_0 = nn.Dense(128, name="cond_0")
         self._cond_1 = nn.Dense(
-            self.n_layers * self.nb_targets * 4,
+            self.n_layers * self.nb_targets * self._params_per_dim,
             kernel_init=nn.initializers.zeros,
             name="cond_1",
         )
 
     def _flow_params(self, latents: Array) -> Array:
-        """[B, n_layers * nb_targets * 4] raw parameters.
+        """[B, n_layers * nb_targets * params_per_dim] raw parameters.
 
         The head is zero-initialised so the flow starts at the identity
         (standard-normal density) regardless of latent scale."""
@@ -94,20 +226,29 @@ class NormalizingFlow(nn.Module):
         return latents
 
     def _nllh(self, params: Array, y: Array) -> Array:
-        """params [B, L*T*4], y [B, T] -> negative log likelihood [B]."""
+        """params [B, L*T*P], y [B, T] -> negative log likelihood [B]."""
         B = y.shape[0]
-        p = params.reshape(B, self.n_layers, self.nb_targets, 4)
+        P = self._params_per_dim
+        p = params.reshape(B, self.n_layers, self.nb_targets, P)
         x = y
         logdet = jnp.zeros((B, self.nb_targets))
         for layer in range(self.n_layers - 1, -1, -1):
             mu = p[:, layer, :, 0]
             log_s = jnp.clip(p[:, layer, :, 1], -7.0, 7.0)
-            # bound the sinh-arcsinh skew/tail params: unbounded eps or
-            # extreme delta overflow sinh() and NaN the likelihood
-            eps = 2.0 * jnp.tanh(p[:, layer, :, 2])
-            delta = 0.2 + jax.nn.softplus(p[:, layer, :, 3] + 0.55)
-            # invert: affine then sinh-arcsinh (forward order sa∘affine)
-            z, ld = _sinh_arcsinh_inv_and_logdet(x, eps, delta)
+            if self.transform == "spline":
+                z, ld = _rqs_inverse_and_logdet(
+                    x,
+                    p[:, layer, :, 2:],
+                    self.spline_bins,
+                    self.spline_bound,
+                )
+            else:
+                # bound the sinh-arcsinh skew/tail params: unbounded eps
+                # or extreme delta overflow sinh() and NaN the likelihood
+                eps = 2.0 * jnp.tanh(p[:, layer, :, 2])
+                delta = 0.2 + jax.nn.softplus(p[:, layer, :, 3] + 0.55)
+                # invert: affine then transform (forward order t∘affine)
+                z, ld = _sinh_arcsinh_inv_and_logdet(x, eps, delta)
             logdet = logdet + ld
             x = (z - mu) * jnp.exp(-log_s)
             logdet = logdet - log_s
@@ -169,7 +310,8 @@ class NormalizingFlow(nn.Module):
             variables, batch, method=self._params_only
         )
         B = params.shape[0]
-        p = params.reshape(B, self.n_layers, self.nb_targets, 4)
+        P = self._params_per_dim
+        p = params.reshape(B, self.n_layers, self.nb_targets, P)
         z = jax.random.normal(
             key, (B, n_samples, self.nb_targets)
         )
@@ -177,10 +319,21 @@ class NormalizingFlow(nn.Module):
         for layer in range(self.n_layers):
             mu = p[:, None, layer, :, 0]
             log_s = jnp.clip(p[:, None, layer, :, 1], -7.0, 7.0)
-            eps = 2.0 * jnp.tanh(p[:, None, layer, :, 2])
-            delta = 0.2 + jax.nn.softplus(p[:, None, layer, :, 3] + 0.55)
             x = x * jnp.exp(log_s) + mu
-            x = _sinh_arcsinh(x, eps, delta)
+            if self.transform == "spline":
+                raw = jnp.broadcast_to(
+                    p[:, None, layer, :, 2:],
+                    (B, n_samples, self.nb_targets, P - 2),
+                )
+                x, _ = _rqs_forward_and_logdet(
+                    x, raw, self.spline_bins, self.spline_bound
+                )
+            else:
+                eps = 2.0 * jnp.tanh(p[:, None, layer, :, 2])
+                delta = 0.2 + jax.nn.softplus(
+                    p[:, None, layer, :, 3] + 0.55
+                )
+                x = _sinh_arcsinh(x, eps, delta)
         return x
 
 

@@ -15,6 +15,7 @@ all-reduce over ICI (SURVEY.md §2.6 row "Data parallelism").
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from dataclasses import dataclass, field
@@ -239,7 +240,12 @@ class Trainer(Logger):
             outputs = model.apply(params, batch, rngs=rngs)
             return model.loss_from_batch(outputs, batch)
 
-        @jax.jit
+        # donate params/opt_state: both are replaced every step, so XLA
+        # can update them in place (halves their HBM footprint; matters
+        # for large models). CPU ignores donation with a warning — gate.
+        donate = (0, 1) if jax.default_backend() == "tpu" else ()
+
+        @functools.partial(jax.jit, donate_argnums=donate)
         def train_step(params, opt_state, batch: EventBatch, rng):
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, batch, rng

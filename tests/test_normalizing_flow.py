@@ -22,8 +22,10 @@ def events(B=4, seed=0):
     ]
 
 
-@pytest.fixture(scope="module")
-def flow_and_params():
+@pytest.fixture(
+    scope="module", params=["sinh_arcsinh", "spline"]
+)
+def flow_and_params(request):
     evs = events()
     labels = {"energy": np.asarray([1.0, 2.0, 0.5, 3.0], np.float32)}
     batch = make_batch(evs, labels=labels, length=32)
@@ -31,9 +33,57 @@ def flow_and_params():
         backbone=DynEdge(nb_inputs=4),
         nb_targets=1,
         target_labels=("energy",),
+        transform=request.param,
     )
     params = flow.init(jax.random.PRNGKey(0), batch)
     return flow, params, batch
+
+
+def test_rqs_roundtrip_and_logdet():
+    """Spline forward∘inverse is the identity; logdets cancel; outside
+    the bound the map is the identity."""
+    from graphnet_tpu.models.normalizing_flow import (
+        _rqs_forward_and_logdet,
+        _rqs_inverse_and_logdet,
+    )
+
+    K, bound = 8, 4.0
+    rng = np.random.default_rng(0)
+    # one spline shared across all evaluation points (so monotonicity
+    # across points is meaningful)
+    raw = jnp.broadcast_to(
+        jnp.asarray(
+            rng.standard_normal((1, 3 * K - 1)).astype(np.float32)
+        ),
+        (64, 3 * K - 1),
+    )
+    z = jnp.asarray(
+        np.concatenate(
+            [
+                rng.uniform(-3.9, 3.9, 60),
+                [-7.0, 7.0, -4.5, 5.5],  # tails: identity
+            ]
+        ).astype(np.float32)
+    )
+    x, ld_f = _rqs_forward_and_logdet(z, raw, K, bound)
+    z2, ld_i = _rqs_inverse_and_logdet(x, raw, K, bound)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(ld_f + ld_i), 0.0, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(x[-4:]), np.asarray(z[-4:])
+    )  # linear tails
+    # monotone: forward preserves order
+    order = np.argsort(np.asarray(z))
+    xo = np.asarray(x)[order]
+    assert (np.diff(xo) > 0).all()
+    # zero raw params -> identity map
+    x0, ld0 = _rqs_forward_and_logdet(
+        z, jnp.zeros_like(raw), K, bound
+    )
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(z), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld0), 0.0, atol=1e-5)
 
 
 def test_nllh_finite(flow_and_params):

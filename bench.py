@@ -399,6 +399,52 @@ def bench_e2e_loader(n_epochs: int = 12) -> dict:
     }
 
 
+def bench_inference(compute_dtype="bfloat16") -> dict:
+    """Serving throughput: forward-only DynEdge at the canonical shape
+    (the DeploymentModule path minus host IO — what an I3-chain or
+    batch-prediction service sustains per chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphnet_tpu.models.gnn.dynedge import DynEdge
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+
+    model = StandardModel(
+        backbone=DynEdge(nb_inputs=D, compute_dtype=compute_dtype),
+        tasks=(
+            EnergyReconstruction(
+                loss_function=LogCoshLoss(),
+                target_labels=("total_energy",),
+                transform_prediction_and_target=lambda x: jnp.log10(x),
+            ),
+        ),
+    )
+    batch = jax.device_put(_synthetic_batch())
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def forward(params, batch):
+        return [pred for pred, _ in model.apply(params, batch)]
+
+    out = forward(params, batch)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    n = 50
+    for _ in range(n):
+        out = forward(params, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    return {
+        "events_per_s": round(B / dt, 1),
+        "latency_ms_per_batch": round(dt * 1e3, 2),
+        "batch": B,
+        "max_len": L,
+        "note": "forward-only incl. dispatch (serving path)",
+    }
+
+
 def a100_pyg_estimate(res: dict, baseline_cpu: float) -> dict:
     """Documented estimate of the reference stack (PyG+torch, A100) on the
     canonical DynEdge config — the BASELINE.md comparison point that cannot
@@ -587,6 +633,7 @@ def main() -> None:
                     "roofline": _section(roofline_detail, res),
                     "tito_l1024": tito,
                     "e2e_loader": e2e,
+                    "inference": _section(bench_inference),
                     "a100_pyg_estimate": _section(
                         a100_pyg_estimate, res, baseline
                     ),

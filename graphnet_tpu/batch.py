@@ -112,11 +112,11 @@ def make_batch(
 ) -> EventBatch:
     """Build an :class:`EventBatch` from per-event numpy arrays."""
     x, mask, n_pulses = pad_events(events, length=length, buckets=buckets)
-    label_dict: Dict[str, jnp.ndarray] = {}
+    label_dict: Dict[str, np.ndarray] = {}
     if labels:
         for k, v in labels.items():
-            label_dict[k] = jnp.asarray(np.asarray(v))
-    nl_dict: Dict[str, jnp.ndarray] = {}
+            label_dict[k] = np.asarray(v)
+    nl_dict: Dict[str, np.ndarray] = {}
     if node_labels:
         L = x.shape[1]
         for key in node_labels[0]:
@@ -125,11 +125,15 @@ def make_batch(
                 v = np.asarray(dct[key])
                 n = min(v.shape[0], L)
                 arr[i, :n] = v[:n]
-            nl_dict[key] = jnp.asarray(arr)
-    return EventBatch(
-        x=jnp.asarray(x),
-        mask=jnp.asarray(mask),
-        n_pulses=jnp.asarray(n_pulses),
-        labels=label_dict,
-        node_labels=nl_dict,
+            nl_dict[key] = arr
+    # one batched transfer for the whole pytree (single RPC on remote
+    # runtimes; see collate_events)
+    return jax.device_put(
+        EventBatch(
+            x=x,
+            mask=mask,
+            n_pulses=n_pulses,
+            labels=label_dict,
+            node_labels=nl_dict,
+        )
     )

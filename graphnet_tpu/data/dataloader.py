@@ -32,7 +32,7 @@ def collate_events(
     ``collate_fn``, ``dataloader.py:12-18``). Returns None if all events are
     dropped.
     """
-    import jax.numpy as jnp
+    import jax
 
     events = [e for e in events if e.n_pulses >= min_pulses]
     if not events:
@@ -84,12 +84,107 @@ def collate_events(
             arr[i, :n] = v[:n]
         node_labels[k] = arr
 
+    return _to_device_packed(x, mask, n_pulses, labels, node_labels)
+
+
+# split functions cached by label layout; jit further caches per shape
+_SPLIT_CACHE: Dict[tuple, "object"] = {}
+
+
+def _to_device_packed(
+    x: np.ndarray,
+    mask: np.ndarray,
+    n_pulses: np.ndarray,
+    labels: Dict[str, np.ndarray],
+    node_labels: Dict[str, np.ndarray],
+) -> EventBatch:
+    """Host→device with label packing.
+
+    A Prometheus truth table alone yields ~38 label arrays; transferring
+    each as its own buffer makes the per-batch host→device cost scale
+    with the *leaf count*, not the byte count (measured on the tunneled
+    TPU runtime: 41-leaf batch ≈ 34 ms vs ≈ 3 ms for a handful of
+    leaves — pure per-buffer overhead).  So: concatenate all float labels
+    into one ``[B, Kf]`` array and all int/bool labels into one
+    ``[B, Ki]`` int32 array, transfer ≤6 leaves in one batched
+    ``device_put``, and split back into the per-label dict on device with
+    a single cached jitted call (the slices are device-side views; one
+    extra dispatch replaces ~35 transfers).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = x.shape[0]
+    fspec: list = []  # (key, width, is_scalar)
+    fcols: list = []
+    ispec: list = []  # (key, width, is_scalar, is_bool)
+    icols: list = []
+    for k in sorted(labels):
+        v = labels[k]
+        v2 = v.reshape(B, -1)
+        if v.dtype.kind == "f":
+            fspec.append((k, v2.shape[1], v.ndim == 1))
+            fcols.append(v2.astype(np.float32, copy=False))
+        else:
+            ispec.append(
+                (k, v2.shape[1], v.ndim == 1, v.dtype.kind == "b")
+            )
+            icols.append(v2.astype(np.int32))
+    nspec = tuple(sorted(node_labels))
+
+    packed = [x, mask, n_pulses]
+    if fcols:
+        packed.append(np.concatenate(fcols, axis=1))
+    if icols:
+        packed.append(np.concatenate(icols, axis=1))
+    if nspec:
+        packed.append(
+            np.stack([node_labels[k] for k in nspec], axis=-1)
+        )
+    dev = jax.device_put(packed)
+    xd, maskd, npd = dev[:3]
+    rest = list(dev[3:])
+    fl = rest.pop(0) if fcols else None
+    il = rest.pop(0) if icols else None
+    nl = rest.pop(0) if nspec else None
+
+    if not (fspec or ispec or nspec):
+        return EventBatch(x=xd, mask=maskd, n_pulses=npd)
+
+    key = (tuple(fspec), tuple(ispec), nspec)
+    split = _SPLIT_CACHE.get(key)
+    if split is None:
+
+        def _split(fl, il, nl):
+            out: Dict[str, jnp.ndarray] = {}
+            o = 0
+            for k, w, scalar in key[0]:
+                col = fl[:, o : o + w]
+                out[k] = col[:, 0] if scalar else col
+                o += w
+            o = 0
+            for k, w, scalar, isbool in key[1]:
+                col = il[:, o : o + w]
+                if isbool:
+                    col = col.astype(bool)
+                out[k] = col[:, 0] if scalar else col
+                o += w
+            nout = {
+                k: nl[..., i] for i, k in enumerate(key[2])
+            }
+            return out, nout
+
+        split = jax.jit(_split)
+        _SPLIT_CACHE[key] = split
+
+    zero = jnp.zeros((), jnp.float32)  # placeholder for absent groups
+    ld, nld = split(
+        fl if fl is not None else zero,
+        il if il is not None else zero,
+        nl if nl is not None else zero,
+    )
     return EventBatch(
-        x=jnp.asarray(x),
-        mask=jnp.asarray(mask),
-        n_pulses=jnp.asarray(n_pulses),
-        labels={k: jnp.asarray(v) for k, v in labels.items()},
-        node_labels={k: jnp.asarray(v) for k, v in node_labels.items()},
+        x=xd, mask=maskd, n_pulses=npd, labels=ld, node_labels=nld
     )
 
 
@@ -262,7 +357,17 @@ class DataLoader:
                 min_pulses=self.min_pulses,
             )
             if batch is not None:
-                self._valid_slots += int(np.asarray(batch.n_pulses).sum())
+                # padding accounting from the HOST event list, never from
+                # batch.n_pulses: a synchronous device->host readback here
+                # permanently degrades device_put throughput on tunneled
+                # runtimes (measured: 1.6 -> 33 ms per batch after one
+                # readback) — the hot loader path must stay D2H-free
+                L = batch.max_length
+                self._valid_slots += sum(
+                    min(e.n_pulses, L)
+                    for e in events
+                    if e.n_pulses >= self.min_pulses
+                )
                 self._total_slots += batch.batch_size * batch.max_length
                 yield batch
 

@@ -44,6 +44,54 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
+def fsdp_sharding(
+    mesh: Mesh,
+    tree,
+    axis: str = "data",
+    min_size: int = 2**14,
+):
+    """FSDP / ZeRO-3 style sharding specs for a parameter (or optimizer
+    state) pytree: each large leaf is sharded along its largest
+    mesh-divisible dimension over ``axis``; small leaves and scalars stay
+    replicated.
+
+    Under ``jit`` with a batch sharded over the same axis, XLA's SPMD
+    partitioner inserts the all-gather before each parameter use and a
+    reduce-scatter for its gradient — the ZeRO-3 communication pattern —
+    with no hand-written collectives.  Sharding decisions are shape-based
+    only, so a matching optimizer-state tree (Adam ``m``/``v`` mirror the
+    parameter shapes) gets identical, consistent placements.
+
+    The reference has no counterpart (Lightning DDP replicates the full
+    model + optimizer per rank, ``easy_model.py:90``); this exists so
+    DeepIce-scale transformers keep fitting per chip as they grow.
+    """
+    n = mesh.shape[axis]
+
+    def spec_for(x):
+        if (
+            not hasattr(x, "shape")
+            or getattr(x, "ndim", 0) == 0
+            or x.size < min_size
+        ):
+            return NamedSharding(mesh, PartitionSpec())
+        for d in sorted(
+            range(x.ndim), key=lambda d: x.shape[d], reverse=True
+        ):
+            if x.shape[d] % n == 0:
+                spec = [None] * x.ndim
+                spec[d] = axis
+                return NamedSharding(mesh, PartitionSpec(*spec))
+        return NamedSharding(mesh, PartitionSpec())
+
+    return jax.tree_util.tree_map(spec_for, tree)
+
+
+def shard_fsdp(tree, mesh: Mesh, axis: str = "data", min_size: int = 2**14):
+    """Place ``tree`` with :func:`fsdp_sharding` placements."""
+    return jax.device_put(tree, fsdp_sharding(mesh, tree, axis, min_size))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place every array leaf of an EventBatch with its batch axis sharded
     over ``data`` (labels/scalars included — all are leading-B)."""

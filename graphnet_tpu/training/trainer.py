@@ -55,6 +55,7 @@ class Trainer(Logger):
         schedule: Optional[optax.Schedule] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         data_axis: str = "data",
+        param_sharding: str = "replicated",
         checkpoint_dir: Optional[str] = None,
         seed: int = 42,
         averaging: Optional[str] = None,
@@ -71,9 +72,16 @@ class Trainer(Logger):
         ``metric_logger``: optional experiment logger — any object with
         ``log_metrics(metrics: dict, step: int)``, or a wandb-style object
         with ``.log(dict, step=...)`` (the reference wires W&B in its
-        examples, ``examples/04_training/01_train_dynedge.py:46-56``)."""
+        examples, ``examples/04_training/01_train_dynedge.py:46-56``).
+
+        ``param_sharding``: "replicated" (plain DP) or "fsdp" — shard
+        parameters *and* optimizer state over the data axis (ZeRO-3 via
+        GSPMD; see :func:`graphnet_tpu.parallel.mesh.fsdp_sharding`).
+        Same numerics as DP, 1/n_devices the per-chip param+opt memory."""
         super().__init__()
         assert averaging in (None, "swa", "ema")
+        assert param_sharding in ("replicated", "fsdp")
+        self.param_sharding = param_sharding
         self.clip_grad_norm = clip_grad_norm
         self.averaging = averaging
         self.ema_decay = ema_decay
@@ -204,6 +212,10 @@ class Trainer(Logger):
     def _replicate(self, tree):
         if self.mesh is None:
             return tree
+        if self.param_sharding == "fsdp":
+            from graphnet_tpu.parallel.mesh import shard_fsdp
+
+            return shard_fsdp(tree, self.mesh, axis=self.data_axis)
         sharding = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec()
         )

@@ -30,3 +30,9 @@ def test_bench_jax_and_roofline(tiny):
 def test_bench_e2e_loader_section(tiny):
     out = bench.bench_e2e_loader(n_epochs=2)
     assert out.get("events_per_s", 0) > 0 or "skipped" in out
+
+
+def test_bench_inference_section(tiny):
+    out = bench.bench_inference(compute_dtype=None)
+    assert out["events_per_s"] > 0
+    assert out["latency_ms_per_batch"] > 0

@@ -240,6 +240,63 @@ class TestGraphSharding:
 
 
 @requires_8
+class TestFSDP:
+    """param_sharding="fsdp": ZeRO-3 via GSPMD (parallel/mesh.py
+    ``fsdp_sharding``) — same numerics as replicated DP, params+opt state
+    physically sharded over the data axis."""
+
+    def test_fsdp_matches_replicated(self):
+        model = _model()
+        batches = [_batch(B=16, seed=s) for s in (0, 1)]
+        mesh = make_mesh(n_data=8)
+        losses, final_params = {}, {}
+        for mode in ("replicated", "fsdp"):
+            trainer = Trainer(
+                model,
+                learning_rate=1e-3,
+                mesh=mesh,
+                param_sharding=mode,
+                seed=7,
+            )
+            h = trainer.fit(batches, max_epochs=2)
+            losses[mode] = h["train_loss"]
+            final_params[mode] = jax.device_get(trainer.state.params)
+        np.testing.assert_allclose(
+            losses["fsdp"], losses["replicated"], rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(final_params["replicated"]),
+            jax.tree_util.tree_leaves(final_params["fsdp"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-6
+            )
+
+    def test_fsdp_actually_shards(self):
+        from graphnet_tpu.parallel.mesh import shard_fsdp
+
+        model = _model()
+        batch = _batch(B=8)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        mesh = make_mesh(n_data=8)
+        sp = shard_fsdp(params, mesh)
+        leaves = jax.tree_util.tree_leaves(sp)
+        n_sharded = sum(
+            1
+            for l in leaves
+            if any(s is not None for s in l.sharding.spec)
+        )
+        assert n_sharded > 0
+        biggest = max(leaves, key=lambda l: l.size)
+        assert "data" in tuple(biggest.sharding.spec)
+        # the big leaf really occupies 1/8 of its size per device
+        shard_elems = int(
+            np.prod(biggest.sharding.shard_shape(biggest.shape))
+        )
+        assert shard_elems == biggest.size // 8
+
+
+@requires_8
 @pytest.mark.skipif(
     not os.path.exists(EXAMPLE_SQLITE_DATA),
     reason="example data not present",

@@ -312,13 +312,19 @@ def bench_tito_l1024(compute_dtype="bfloat16") -> dict:
     }
 
 
-def bench_e2e_loader(n_epochs: int = 12) -> dict:
-    """End-to-end training throughput: bundled Prometheus SQLite DB →
+def bench_e2e_loader(n_epochs: int = 4, n_events_db: int = 2000) -> dict:
+    """End-to-end training throughput: Prometheus SQLite DB →
     SQLiteDataset → DataLoader → PrefetchingLoader → jitted train step.
 
     Measures what a user sees (host queries + graph build + padding +
     device step, host work overlapped by the prefetch thread).  A single
     padded shape is forced (bucket 128) so the bench compiles once.
+
+    The bundled example DB has only 50 events (two batches per epoch at
+    production batch size), so the bench bootstrap-resamples it into a
+    ``n_events_db``-event synthetic DB with identical schema and pulse
+    statistics (``graphnet_tpu.datasets.synthetic``) and trains on that
+    at the canonical B=128.
     """
     import jax
     import jax.numpy as jnp
@@ -339,18 +345,24 @@ def bench_e2e_loader(n_epochs: int = 12) -> dict:
     if not os.path.exists(EXAMPLE_SQLITE_DATA):
         return {"skipped": "no example data"}
 
+    from graphnet_tpu.datasets.synthetic import cached_prometheus_db
+
+    db_path = cached_prometheus_db(n_events=n_events_db, seed=0)
     ds = SQLiteDataset(
-        path=EXAMPLE_SQLITE_DATA,
+        path=db_path,
         graph_definition=KNNGraph(detector=Prometheus()),
         pulsemaps="total",
         features=FEATURES.PROMETHEUS,
         truth=TRUTH.PROMETHEUS,
         truth_table="mc_truth",
     )
-    # batched-SQL fetch path; no thread pool (measured counterproductive
-    # at this 50-event scale — pool dispatch > per-item work)
     loader = DataLoader(
-        ds, batch_size=25, shuffle=True, seed=0, buckets=(128,)
+        ds,
+        batch_size=128,
+        shuffle=True,
+        seed=0,
+        buckets=(128,),
+        num_workers=4,
     )
     model = StandardModel(
         backbone=DynEdge(nb_inputs=D, compute_dtype="bfloat16"),
@@ -394,8 +406,9 @@ def bench_e2e_loader(n_epochs: int = 12) -> dict:
         "events_per_s": round(n_events / dt, 1),
         "n_events": n_events,
         "epochs_timed": n_epochs - 1,
-        "note": "50-event bundled DB; host pipeline rebuilds graphs "
-        "every epoch (no caching)",
+        "note": f"{n_events_db}-event synthetic DB (bootstrap of the "
+        "bundled 50-event DB); host pipeline rebuilds graphs every "
+        "epoch (no caching)",
     }
 
 

@@ -12,7 +12,7 @@ count under jit).
 from __future__ import annotations
 
 import math
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -85,6 +85,75 @@ def collate_events(
         node_labels[k] = arr
 
     return _to_device_packed(x, mask, n_pulses, labels, node_labels)
+
+
+def collate_from_arrays(
+    xs: List[np.ndarray],
+    truth_names: Sequence[str],
+    truth_mat: np.ndarray,
+    dataset,
+    length: Optional[int] = None,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+    min_pulses: int = 2,
+) -> Optional[Tuple["EventBatch", int, int]]:
+    """Vectorised collate: node arrays + a ``[B, n_truth]`` truth matrix
+    straight to a padded EventBatch — no per-event Python dicts.
+
+    Same semantics as fetching Events and calling :func:`collate_events`
+    (dtype kinds, key set, and packing layout are identical, so the two
+    paths share the jitted split cache), but the label work is ``O(keys)``
+    numpy column ops instead of ``O(B x keys)`` scalar boxing — the
+    dominant host cost at production batch sizes (profiled: 38 truth
+    keys x 128 events ≈ 4.9k asarray/stack calls per batch on the
+    per-event route).
+
+    Returns ``(batch, valid_slots, total_slots)`` (padding accounting),
+    or None if every event was dropped by ``min_pulses``.
+    """
+    keep = [i for i, x in enumerate(xs) if x.shape[0] >= min_pulses]
+    if not keep:
+        return None
+    if len(keep) != len(xs):
+        xs = [xs[i] for i in keep]
+        truth_mat = truth_mat[np.asarray(keep)]
+    B = len(xs)
+    counts = np.array([x.shape[0] for x in xs], np.int32)
+    L = (
+        length
+        if length is not None
+        else bucket_for_length(int(counts.max()), buckets)
+    )
+
+    from graphnet_tpu.native import native_pad_events
+
+    native = native_pad_events(xs, L)
+    if native is not None:
+        x, mask, n_pulses = native
+    else:
+        d = xs[0].shape[1]
+        x = np.zeros((B, L, d), dtype=np.float32)
+        mask = np.zeros((B, L), dtype=bool)
+        n_pulses = np.zeros((B,), dtype=np.int32)
+        for i, e in enumerate(xs):
+            n = min(e.shape[0], L)
+            x[i, :n] = e[:n]
+            mask[i, :n] = True
+            n_pulses[i] = n
+
+    truth_cols = {
+        k: truth_mat[:, i] for i, k in enumerate(truth_names)
+    }
+    # merge order matches the per-event path (dataset.py:_create_graph):
+    # derived pid labels first, truth columns overwrite, custom labels last
+    labels = dataset._get_labels_batched(truth_cols, B)
+    labels.update(truth_cols)
+    labels["n_pulses"] = counts
+    for key, fn in getattr(dataset, "_label_fns", {}).items():
+        labels[key] = np.asarray(fn.batched(labels))
+
+    batch = _to_device_packed(x, mask, n_pulses, labels, {})
+    valid = int(np.minimum(counts, L).sum())
+    return batch, valid, B * L
 
 
 # split functions cached by label layout; jit further caches per shape
@@ -274,6 +343,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self._pool = None
+        self._fast_ok: Optional[bool] = None
         self._lengths: Optional[np.ndarray] = None
         # padding-efficiency accounting (valid pulses / padded slots),
         # updated per epoch — padding waste is the cost of the static-
@@ -346,10 +416,60 @@ class DataLoader:
             return out
         return list(self._pool.map(self.dataset.__getitem__, idxs))
 
+    def _try_fast(self, idxs: List[int]):
+        """Vectorised batch path (``collate_from_arrays``): two SQL
+        queries, one detector pass, column-view labels.  Returns
+        ``(batch_or_None, valid, total)`` when it applies, or None to
+        fall back to the per-event Event route (unsupported dataset /
+        graph-definition / custom-label configurations)."""
+        if self._fast_ok is False:
+            return None
+        ds = self.dataset
+        gba = getattr(ds, "get_batch_arrays", None)
+        gd = getattr(ds, "_graph_definition", None)
+        if (
+            gba is None
+            or gd is None
+            or not getattr(gd, "supports_batched", False)
+            or any(
+                not hasattr(fn, "batched")
+                for fn in getattr(ds, "_label_fns", {}).values()
+            )
+        ):
+            self._fast_ok = False
+            return None
+        self._fast_ok = True
+        out = gba(idxs)
+        if out is None:  # per-batch fallback (e.g. NULL/TEXT cells)
+            return None
+        features_list, truth_mat = out
+        xs = gd.build_x_batched(features_list)
+        if xs is None:
+            return None
+        res = collate_from_arrays(
+            xs,
+            ds._truth,
+            truth_mat,
+            ds,
+            buckets=self.buckets,
+            min_pulses=self.min_pulses,
+        )
+        if res is None:
+            return (None, 0, 0)
+        return res
+
     def __iter__(self) -> Iterator[EventBatch]:
         self._valid_slots = 0
         self._total_slots = 0
         for idxs in self._batches():
+            fast = self._try_fast(idxs)
+            if fast is not None:
+                batch, valid, total = fast
+                if batch is not None:
+                    self._valid_slots += valid
+                    self._total_slots += total
+                    yield batch
+                continue
             events = self._fetch(idxs)
             batch = collate_events(
                 events,

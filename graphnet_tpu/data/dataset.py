@@ -308,6 +308,57 @@ class Dataset:
         except KeyError:
             return -1
 
+    def _get_labels_batched(
+        self, truth_cols: Dict[str, np.ndarray], n_events: int
+    ) -> Dict[str, np.ndarray]:
+        """Vectorised :meth:`_get_labels`: derived classification labels
+        for a whole batch from ``[B]`` truth columns (the batched input
+        path, ``dataloader.py:collate_from_arrays``).  Matches the
+        per-event semantics exactly, including the -1 fallbacks."""
+        out: Dict[str, np.ndarray] = {}
+        if "pid" in truth_cols:
+            abs_pid = np.abs(truth_cols["pid"])
+            stopped = truth_cols.get("stopped_muon")
+            itype = truth_cols.get("interaction_type")
+            dbang = truth_cols.get("dbang_decay_length")
+            i32 = lambda a: np.asarray(a, np.int32)  # noqa: E731
+            out["muon"] = i32(abs_pid == 13)
+            out["muon_stopped"] = (
+                i32(stopped == 1)
+                if stopped is not None
+                else np.zeros(n_events, np.int32)
+            )
+            out["neutrino"] = i32((abs_pid != 13) & (abs_pid != 1))
+            out["v_e"] = i32(abs_pid == 12)
+            out["v_u"] = i32(abs_pid == 14)
+            out["v_t"] = i32(abs_pid == 16)
+            out["track"] = (
+                i32((abs_pid == 14) & (itype == 1))
+                if itype is not None
+                else np.zeros(n_events, np.int32)
+            )
+            out["dbang"] = (
+                i32(dbang > -1)
+                if dbang is not None
+                else np.full(n_events, -1, np.int32)
+            )
+            out["corsika"] = i32(abs_pid > 20)
+        else:
+            for k in (
+                "muon",
+                "muon_stopped",
+                "noise",
+                "neutrino",
+                "v_e",
+                "v_u",
+                "v_t",
+                "track",
+                "dbang",
+                "corsika",
+            ):
+                out[k] = np.full(n_events, -1, np.int32)
+        return out
+
 
 class EnsembleDataset:
     """Concatenation of datasets (reference ``dataset.py:700-709``)."""

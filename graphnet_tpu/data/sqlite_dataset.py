@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import sqlite3
 import threading
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -55,6 +55,28 @@ class SQLiteDataset(Dataset):
         state = dict(self.__dict__)
         state.pop("_tls_store", None)
         return state
+
+    def _native_handle(self) -> Optional[int]:
+        """Per-thread native SQLite handle (``native/sqlite_fetch.cpp``)
+        for the batched fetch; None when unavailable (multi-database
+        configurations, no compiler)."""
+        tls = self._tls
+        h = getattr(tls, "native_handle", None)
+        if h is False:
+            return None
+        if h is None:
+            if self._database_list is not None or not isinstance(
+                self._path, str
+            ):
+                tls.native_handle = False
+                return None
+            from graphnet_tpu.native import sqlite_open
+
+            h = sqlite_open(self._path)
+            tls.native_handle = h if h else False
+            if not h:
+                return None
+        return h
 
     def _post_init(self) -> None:
         self._remove_missing_columns()
@@ -179,6 +201,12 @@ class SQLiteDataset(Dataset):
     def _close_connection(self) -> None:
         """Close the *calling thread's* connections."""
         tls = self._tls
+        h = getattr(tls, "native_handle", None)
+        if h:
+            from graphnet_tpu.native import sqlite_close
+
+            sqlite_close(h)
+            tls.native_handle = None
         if self._conn is not None:
             if self._database_list is None:
                 self._conn.close()
@@ -206,21 +234,40 @@ class SQLiteDataset(Dataset):
         cols = ", ".join(columns)
         sel = f" and {selection}" if selection else ""
         in_list = ",".join(str(int(e)) for e in event_nos)
-        try:
-            rows = self._conn.execute(
-                f"SELECT {self._index_column}, {cols} FROM {table} "
-                f"WHERE {self._index_column} IN ({in_list}){sel}"
-            ).fetchall()
-        except sqlite3.OperationalError as e:
-            if "no such column" in str(e):
-                raise ColumnMissingException(str(e))
-            raise
-        grouped: Dict[int, np.ndarray] = {}
-        if rows:
+        sql = (
+            f"SELECT {self._index_column}, {cols} FROM {table} "
+            f"WHERE {self._index_column} IN ({in_list}){sel}"
+        )
+        # native route: SQLite C API straight into a float64 buffer, no
+        # Python row tuples, GIL released (native/sqlite_fetch.cpp)
+        arr = None
+        handle = self._native_handle()
+        if handle is not None:
+            from graphnet_tpu.native import sqlite_fetch_f64
+
+            arr = sqlite_fetch_f64(
+                handle,
+                sql,
+                len(columns) + 1,
+                cap_hint=max(4096, 128 * len(event_nos)),
+            )
+        if arr is None:
+            try:
+                rows = self._conn.execute(sql).fetchall()
+            except sqlite3.OperationalError as e:
+                if "no such column" in str(e):
+                    raise ColumnMissingException(str(e))
+                raise
             # NULL/TEXT cells cannot take the numeric fast path
             # (the caller falls back to per-event queries, whose object
             # arrays GraphDefinition already tolerates)
-            arr = np.asarray(rows, dtype=np.float64)
+            arr = (
+                np.asarray(rows, dtype=np.float64)
+                if rows
+                else np.zeros((0, len(columns) + 1))
+            )
+        grouped: Dict[int, np.ndarray] = {}
+        if len(arr):
             order = np.argsort(arr[:, 0], kind="stable")
             arr = arr[order]
             ev = arr[:, 0]
@@ -232,6 +279,62 @@ class SQLiteDataset(Dataset):
         for e in event_nos:
             grouped.setdefault(int(e), empty)
         return grouped
+
+    def get_batch_arrays(
+        self, sequential_indices: List[int]
+    ) -> Optional[Tuple[List[np.ndarray], np.ndarray]]:
+        """Raw arrays for a whole batch in two SQL queries: per-event
+        ``[n_i, n_features]`` float64 feature arrays plus a
+        ``[B, n_truth]`` truth matrix (index column first, matching
+        ``self._truth``).
+
+        The fully-vectorised input path: the DataLoader standardises the
+        *concatenated* pulses in one detector pass and builds batch
+        labels as column views of the truth matrix
+        (``dataloader.py:collate_from_arrays``) — no per-event Python
+        dicts.  Returns None for configurations the batched path doesn't
+        carry (multi-database, node truth, loss weights, NULL/TEXT
+        cells), where callers fall back to :meth:`get_events`.
+        """
+        if (
+            self._database_list is not None
+            or self._node_truth
+            or self._loss_weight_column is not None
+            or not sequential_indices
+        ):
+            return None
+        self._establish_connection(sequential_indices[0])
+        event_nos = [
+            self._get_event_index(i) for i in sequential_indices
+        ]
+        try:
+            feature_groups = [
+                self._query_batch(
+                    pm, self._features, event_nos, self._selection
+                )
+                for pm in self._pulsemaps
+            ]
+            truth_group = self._query_batch(
+                self._truth_table, self._truth[1:], event_nos
+            )
+        except (TypeError, ValueError):
+            return None
+        features_list = []
+        truth_mat = np.zeros(
+            (len(event_nos), len(self._truth)), dtype=np.float64
+        )
+        for j, e in enumerate(event_nos):
+            feats = [g[e] for g in feature_groups if len(g[e])]
+            features_list.append(
+                np.concatenate(feats, axis=0)
+                if feats
+                else np.zeros((0, len(self._features)))
+            )
+            truth_rows = truth_group[e]
+            if len(truth_rows):
+                truth_mat[j, 0] = float(e)
+                truth_mat[j, 1:] = truth_rows[0]
+        return features_list, truth_mat
 
     def get_events(self, sequential_indices: List[int]) -> List[Event]:
         """Batched fetch: one SQL query per table per batch instead of one

@@ -84,6 +84,111 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+# -- native SQLite fetch ---------------------------------------------------
+# Separate shared object (links against libsqlite3); degrades to the
+# Python sqlite3 route when the build or the library is unavailable.
+_SQLITE_SRC = os.path.join(_NATIVE_DIR, "sqlite_fetch.cpp")
+_SQLITE_SO = os.path.join(_NATIVE_DIR, "_sqlite_fetch.so")
+_sqlite_lib: Optional[ctypes.CDLL] = None
+_sqlite_tried = False
+
+
+def get_sqlite_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native SQLite fetcher; None if
+    unavailable (no compiler / no libsqlite3)."""
+    global _sqlite_lib, _sqlite_tried
+    if _sqlite_lib is not None or _sqlite_tried:
+        return _sqlite_lib
+    _sqlite_tried = True
+    if not os.path.exists(_SQLITE_SRC):
+        return None
+    if not os.path.exists(_SQLITE_SO) or os.path.getmtime(
+        _SQLITE_SO
+    ) < os.path.getmtime(_SQLITE_SRC):
+        try:
+            subprocess.run(
+                [
+                    "g++",
+                    "-O3",
+                    "-shared",
+                    "-fPIC",
+                    "-o",
+                    _SQLITE_SO,
+                    _SQLITE_SRC,
+                    "-l:libsqlite3.so.0",
+                ],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except (OSError, subprocess.SubprocessError):
+            return None
+    try:
+        lib = ctypes.CDLL(_SQLITE_SO)
+    except OSError:
+        return None
+    lib.gn_sqlite_open.argtypes = [ctypes.c_char_p]
+    lib.gn_sqlite_open.restype = ctypes.c_void_p
+    lib.gn_sqlite_close.argtypes = [ctypes.c_void_p]
+    lib.gn_sqlite_fetch_f64.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_void_p,
+        ctypes.c_longlong,
+        ctypes.c_int32,
+    ]
+    lib.gn_sqlite_fetch_f64.restype = ctypes.c_longlong
+    _sqlite_lib = lib
+    return _sqlite_lib
+
+
+def sqlite_open(path: str) -> Optional[int]:
+    """Native read-only connection handle, or None if unavailable."""
+    lib = get_sqlite_lib()
+    if lib is None:
+        return None
+    return lib.gn_sqlite_open(path.encode()) or None
+
+
+def sqlite_close(handle: Optional[int]) -> None:
+    if handle:
+        lib = get_sqlite_lib()
+        if lib is not None:
+            lib.gn_sqlite_close(handle)
+
+
+def sqlite_fetch_f64(
+    handle: int, sql: str, ncols: int, cap_hint: int = 4096
+) -> Optional[np.ndarray]:
+    """Run ``sql`` natively, returning a ``[n, ncols]`` float64 array.
+
+    Returns None when the query hits non-numeric cells or errors — the
+    caller falls back to the Python route (mirroring its TypeError
+    fallback for NULL/TEXT).  The C call runs without the GIL.
+    """
+    lib = get_sqlite_lib()
+    if lib is None:
+        return None
+    sql_b = sql.encode()
+    cap = max(int(cap_hint), 16)
+    for _ in range(2):
+        out = np.empty((cap, ncols), np.float64)
+        n = lib.gn_sqlite_fetch_f64(
+            handle,
+            sql_b,
+            out.ctypes.data_as(ctypes.c_void_p),
+            cap,
+            ncols,
+        )
+        if n >= 0:
+            return out[:n]
+        if n <= -3:  # buffer too small; retry once with the exact size
+            cap = -n - 3
+            continue
+        return None
+    return None
+
+
 def native_pad_events(
     events: List[np.ndarray], L: int
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:

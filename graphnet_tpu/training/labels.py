@@ -23,6 +23,11 @@ class Label:
     def __call__(self, event) -> np.ndarray:
         raise NotImplementedError
 
+    # Optional: subclasses may implement ``batched(labels)`` computing the
+    # label for a whole batch from ``[B]`` label columns — the vectorised
+    # input path (``dataloader.py:collate_from_arrays``) requires it and
+    # falls back to the per-event route when absent.
+
 
 class Direction(Label):
     """Unit 3-vector from azimuth/zenith (reference ``labels.py:34-70``)."""
@@ -50,6 +55,19 @@ class Direction(Label):
         z = np.cos(ze)
         return np.stack([x, y, z], axis=-1).astype(np.float32).squeeze(0)
 
+    def batched(self, labels: dict) -> np.ndarray:
+        """[B, 3] unit vectors from [B] azimuth/zenith columns."""
+        az = np.asarray(labels[self._azimuth_key], np.float64)
+        ze = np.asarray(labels[self._zenith_key], np.float64)
+        return np.stack(
+            [
+                np.cos(az) * np.sin(ze),
+                np.sin(az) * np.sin(ze),
+                np.cos(ze),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
 
 class Track(Label):
     """1 iff NuMu CC (reference ``labels.py:73-107``)."""
@@ -68,4 +86,9 @@ class Track(Label):
     def __call__(self, event) -> np.ndarray:
         is_numu = np.abs(np.asarray(event.labels[self._pid_key])) == 14
         is_cc = np.asarray(event.labels[self._int_key]) == 1
+        return np.asarray(is_numu & is_cc, np.int32)
+
+    def batched(self, labels: dict) -> np.ndarray:
+        is_numu = np.abs(np.asarray(labels[self._pid_key])) == 14
+        is_cc = np.asarray(labels[self._int_key]) == 1
         return np.asarray(is_numu & is_cc, np.int32)

@@ -28,7 +28,7 @@ def test_bench_jax_and_roofline(tiny):
 
 
 def test_bench_e2e_loader_section(tiny):
-    out = bench.bench_e2e_loader(n_epochs=2)
+    out = bench.bench_e2e_loader(n_epochs=2, n_events_db=150)
     assert out.get("events_per_s", 0) > 0 or "skipped" in out
 
 

@@ -372,3 +372,103 @@ def test_ragged_pads_to_nominal_compiled_shape():
     w = np.asarray(ragged.event_weight)
     np.testing.assert_allclose(w[:5], 16.0 / 5.0)
     np.testing.assert_allclose(w[5:], 0.0)
+
+
+@requires_8
+class TestTensorParallel:
+    """Megatron-style TP via GSPMD param shardings
+    (parallel/tensor_parallel.py): attention-head / FFN-hidden sharding
+    over the ``model`` axis — numerics == replicated, weights physically
+    sharded."""
+
+    def _tito(self):
+        return _model(backbone=DynEdgeTITO(nb_inputs=4))
+
+    def test_tp_forward_matches_replicated(self):
+        from graphnet_tpu.parallel.tensor_parallel import (
+            shard_tensor_parallel,
+        )
+
+        model = self._tito()
+        batch = _batch(B=4, L=32, seed=3)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        outs_ref = model.apply(params, batch)
+
+        mesh = make_mesh(n_data=2, n_model=4)
+        sharded = shard_batch(batch, mesh)
+        params_tp = shard_tensor_parallel(params, mesh)
+        outs_tp = jax.jit(lambda p, b: model.apply(p, b))(
+            params_tp, sharded
+        )
+        for (pred_ref, _), (pred_tp, _) in zip(outs_ref, outs_tp):
+            np.testing.assert_allclose(
+                np.asarray(pred_tp),
+                np.asarray(pred_ref),
+                rtol=5e-4,
+                atol=1e-5,
+            )
+
+    def test_tp_actually_shards(self):
+        from graphnet_tpu.parallel.tensor_parallel import (
+            count_tp_sharded,
+            shard_tensor_parallel,
+        )
+
+        model = self._tito()
+        batch = _batch(B=4, L=32, seed=3)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        mesh = make_mesh(n_data=2, n_model=4)
+        assert count_tp_sharded(params, mesh) >= 8  # qkv/out/ffn per block
+        params_tp = shard_tensor_parallel(params, mesh)
+
+        def find_qkv(path, x):
+            names = [str(getattr(p, "key", p)) for p in path]
+            if "qkv" in names and names[-1] == "kernel":
+                found.append(x)
+
+        found = []
+        jax.tree_util.tree_map_with_path(find_qkv, params_tp)
+        assert found, "no qkv kernel in TITO params"
+        shard = found[0].addressable_shards[0]
+        # column-parallel: each device holds out_features / 4
+        assert shard.data.shape[-1] == found[0].shape[-1] // 4
+
+    def test_tp_train_step_matches_dp(self):
+        import optax
+
+        from graphnet_tpu.parallel.tensor_parallel import (
+            shard_tensor_parallel,
+        )
+
+        model = self._tito()
+        batch = _batch(B=8, L=32, seed=5)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        optimizer = optax.adam(1e-3, eps=1e-3)
+
+        def step(p, o, b):
+            loss, grads = jax.value_and_grad(
+                lambda q: model.loss_from_batch(model.apply(q, b), b)
+            )(p)
+            updates, o = optimizer.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        p_ref, o_ref, loss_ref = jax.jit(step)(
+            params, optimizer.init(params), batch
+        )
+
+        mesh = make_mesh(n_data=2, n_model=4)
+        sharded = shard_batch(batch, mesh)
+        params_tp = shard_tensor_parallel(params, mesh)
+        opt_tp = shard_tensor_parallel(optimizer.init(params), mesh)
+        p_tp, o_tp, loss_tp = jax.jit(step)(params_tp, opt_tp, sharded)
+
+        np.testing.assert_allclose(
+            float(loss_tp), float(loss_ref), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_ref),
+            jax.tree_util.tree_leaves(p_tp),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-5
+            )

@@ -55,6 +55,7 @@ class Trainer(Logger):
         schedule: Optional[optax.Schedule] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         data_axis: str = "data",
+        model_axis: str = "model",
         param_sharding: str = "replicated",
         checkpoint_dir: Optional[str] = None,
         seed: int = 42,
@@ -74,14 +75,25 @@ class Trainer(Logger):
         with ``.log(dict, step=...)`` (the reference wires W&B in its
         examples, ``examples/04_training/01_train_dynedge.py:46-56``).
 
-        ``param_sharding``: "replicated" (plain DP) or "fsdp" — shard
-        parameters *and* optimizer state over the data axis (ZeRO-3 via
-        GSPMD; see :func:`graphnet_tpu.parallel.mesh.fsdp_sharding`).
-        Same numerics as DP, 1/n_devices the per-chip param+opt memory."""
+        ``param_sharding``: "replicated" (plain DP), "fsdp" (shard
+        parameters *and* optimizer state over the data axis — ZeRO-3 via
+        GSPMD, see :func:`graphnet_tpu.parallel.mesh.fsdp_sharding`),
+        "tp" (Megatron column/row tensor parallelism over the
+        ``model_axis`` of a 2D mesh, see
+        :mod:`graphnet_tpu.parallel.tensor_parallel`), or "fsdp+tp"
+        (TP placement for matched attention/FFN layers, FSDP over the
+        data axis for everything else).  All modes keep DP numerics;
+        they differ only in per-chip memory and collective pattern."""
         super().__init__()
         assert averaging in (None, "swa", "ema")
-        assert param_sharding in ("replicated", "fsdp")
+        assert param_sharding in ("replicated", "fsdp", "tp", "fsdp+tp")
         self.param_sharding = param_sharding
+        self.model_axis = model_axis
+        if "tp" in param_sharding and mesh is not None:
+            assert model_axis in mesh.axis_names, (
+                f"param_sharding={param_sharding!r} needs a mesh with a "
+                f"{model_axis!r} axis (use make_mesh(n_data, n_model))"
+            )
         self.clip_grad_norm = clip_grad_norm
         self.averaging = averaging
         self.ema_decay = ema_decay
@@ -216,6 +228,38 @@ class Trainer(Logger):
             from graphnet_tpu.parallel.mesh import shard_fsdp
 
             return shard_fsdp(tree, self.mesh, axis=self.data_axis)
+        if self.param_sharding in ("tp", "fsdp+tp"):
+            from graphnet_tpu.parallel.tensor_parallel import (
+                tensor_parallel_sharding,
+            )
+
+            specs = tensor_parallel_sharding(
+                self.mesh, tree, axis=self.model_axis
+            )
+            if self.param_sharding == "fsdp+tp":
+                # TP wins for matched attention/FFN layers; everything
+                # else (embeddings, EdgeConv MLPs, task heads) shards
+                # FSDP-style over the data axis so no large leaf is
+                # fully replicated.
+                from graphnet_tpu.parallel.mesh import fsdp_sharding
+
+                dp_specs = fsdp_sharding(
+                    self.mesh, tree, axis=self.data_axis
+                )
+                is_ns = lambda x: isinstance(  # noqa: E731
+                    x, jax.sharding.NamedSharding
+                )
+                specs = jax.tree_util.tree_map(
+                    lambda t, d: (
+                        t
+                        if any(e == self.model_axis for e in tuple(t.spec))
+                        else d
+                    ),
+                    specs,
+                    dp_specs,
+                    is_leaf=is_ns,
+                )
+            return jax.device_put(tree, specs)
         sharding = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec()
         )

@@ -433,6 +433,38 @@ class TestTensorParallel:
         # column-parallel: each device holds out_features / 4
         assert shard.data.shape[-1] == found[0].shape[-1] // 4
 
+    @pytest.mark.parametrize("sharding", ["tp", "fsdp+tp"])
+    def test_trainer_tp_fit(self, sharding):
+        """Trainer(param_sharding="tp"/"fsdp+tp") on a DP×TP mesh: fits,
+        loss finite, and the attention weights are physically sharded
+        over the model axis (not a silent replicated no-op)."""
+        from graphnet_tpu.parallel.tensor_parallel import count_tp_sharded
+
+        model = self._tito()
+        mesh = make_mesh(n_data=2, n_model=4)
+        trainer = Trainer(
+            model, learning_rate=1e-4, mesh=mesh, param_sharding=sharding
+        )
+        batches = [_batch(B=8, L=32, seed=s) for s in range(3)]
+        history = trainer.fit(batches, batches[:1], max_epochs=1)
+        assert np.isfinite(history["train_loss"][0])
+        assert np.isfinite(history["val_loss"][0])
+        assert count_tp_sharded(trainer.state.params, mesh) >= 8
+        # physically sharded: a qkv kernel's per-device shard is 1/4 width
+        found = []
+
+        def find_qkv(path, x):
+            names = [str(getattr(p, "key", p)) for p in path]
+            if "qkv" in names and names[-1] == "kernel":
+                found.append(x)
+
+        jax.tree_util.tree_map_with_path(find_qkv, trainer.state.params)
+        assert found
+        assert (
+            found[0].addressable_shards[0].data.shape[-1]
+            == found[0].shape[-1] // 4
+        )
+
     def test_tp_train_step_matches_dp(self):
         import optax
 

@@ -64,6 +64,7 @@ class Trainer(Logger):
         clip_grad_norm: Optional[float] = None,
         metric_logger: Optional[Any] = None,
         progress_bar: bool = False,
+        steps_per_dispatch: int = 1,
     ) -> None:
         """``averaging``: None, "swa" (equal-weight running average) or
         "ema" — analogue of the reference's StandardAveragedModel
@@ -83,9 +84,26 @@ class Trainer(Logger):
         :mod:`graphnet_tpu.parallel.tensor_parallel`), or "fsdp+tp"
         (TP placement for matched attention/FFN layers, FSDP over the
         data axis for everything else).  All modes keep DP numerics;
-        they differ only in per-chip memory and collective pattern."""
+        they differ only in per-chip memory and collective pattern.
+
+        ``steps_per_dispatch``: run k optimiser steps per device dispatch
+        via ``lax.scan`` over k same-shape batches (stacked *on device*,
+        inside the jitted call — host stacking would be a device→host
+        readback, which degrades the tunneled runtime permanently).  On
+        runtimes with high per-dispatch latency (the axon tunnel costs
+        ~11.5 ms per call vs 6.6 ms chip time for the headline DynEdge
+        step) this amortises the dispatch overhead ~k-fold.  Numerics are
+        identical to k single steps in the same order; batches of a
+        less-common padded shape are buffered per shape and flushed
+        one-by-one at epoch end."""
         super().__init__()
         assert averaging in (None, "swa", "ema")
+        assert steps_per_dispatch >= 1
+        assert steps_per_dispatch == 1 or averaging is None, (
+            "steps_per_dispatch>1 updates SWA/EMA averages only every k "
+            "steps, changing their semantics — use one or the other"
+        )
+        self.steps_per_dispatch = steps_per_dispatch
         assert param_sharding in ("replicated", "fsdp", "tp", "fsdp+tp")
         self.param_sharding = param_sharding
         self.model_axis = model_axis
@@ -128,6 +146,7 @@ class Trainer(Logger):
         self.progress_bar = progress_bar
         self._dropout_rng = jax.random.PRNGKey(seed + 1)
         self._train_step_fn = None
+        self._train_scan_fn = None
         self._eval_step_fn = None
         self._predict_fn = None
 
@@ -328,9 +347,67 @@ class Trainer(Logger):
                 ]
             return [pred for pred, _reg in outputs]
 
+        @functools.partial(jax.jit, donate_argnums=donate)
+        def train_scan(params, opt_state, batches, rngs):
+            # stack the k batches on device, inside this dispatch — the
+            # loader's batches already live on device and pulling them
+            # back to host would be a D2H readback
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *batches
+            )
+            rng_arr = jnp.stack(rngs)
+
+            def one(carry, xs):
+                p, o = carry
+                b, r = xs
+                loss, grads = jax.value_and_grad(loss_fn)(p, b, r)
+                updates, o = optimizer.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                one, (params, opt_state), (stacked, rng_arr)
+            )
+            return params, opt_state, losses
+
         self._train_step_fn = train_step
+        self._train_scan_fn = train_scan
         self._eval_step_fn = eval_step
         self._predict_fn = predict_step
+
+    # ------------------------------------------------------------------
+    def _single_train_step(self, batch: EventBatch):
+        """One optimiser step; returns the scalar loss (on device)."""
+        step_rng = jax.random.fold_in(self._dropout_rng, self.state.step)
+        params, opt_state, loss = self._train_step_fn(
+            self.state.params, self.state.opt_state, batch, step_rng
+        )
+        self.state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=self.state.step + 1,
+        )
+        self._update_averages(params)
+        return loss
+
+    def _scan_train_steps(self, group):
+        """k optimiser steps in ONE device dispatch (``lax.scan``);
+        returns the [k] per-step losses (on device).  Identical numerics
+        to k sequential :meth:`_single_train_step` calls — the dropout
+        rngs fold in the same per-step indices."""
+        k = len(group)
+        rngs = tuple(
+            jax.random.fold_in(self._dropout_rng, self.state.step + j)
+            for j in range(k)
+        )
+        params, opt_state, losses_k = self._train_scan_fn(
+            self.state.params, self.state.opt_state, tuple(group), rngs
+        )
+        self.state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=self.state.step + k,
+        )
+        return losses_k
 
     # ------------------------------------------------------------------
     def fit(
@@ -404,6 +481,7 @@ class Trainer(Logger):
                     unit="batch",
                     leave=False,
                 )
+            buf: Dict[Any, List[EventBatch]] = {}
             for i, batch in enumerate(iterator):
                 n_events += batch.batch_size
                 batch = self._shard_batch(batch)
@@ -411,42 +489,49 @@ class Trainer(Logger):
                     self.init(batch)
                     self._log_param_count()
                 assert self.state is not None
-                step_rng = jax.random.fold_in(
-                    self._dropout_rng, self.state.step
-                )
-                params, opt_state, loss = self._train_step_fn(
-                    self.state.params,
-                    self.state.opt_state,
-                    batch,
-                    step_rng,
-                )
-                self.state = TrainState(
-                    params=params,
-                    opt_state=opt_state,
-                    step=self.state.step + 1,
-                )
-                self._update_averages(params)
-                # device scalar — no host sync in the hot loop; the only
-                # sync is the (rare) log-interval print below
-                losses.append(loss)
+                if self.steps_per_dispatch > 1:
+                    # buffer per padded shape; dispatch k steps at once
+                    leaves, treedef = jax.tree_util.tree_flatten(batch)
+                    key = (
+                        treedef,
+                        tuple(getattr(x, "shape", ()) for x in leaves),
+                    )
+                    group = buf.setdefault(key, [])
+                    group.append(batch)
+                    if len(group) < self.steps_per_dispatch:
+                        continue
+                    del buf[key]
+                    loss = self._scan_train_steps(group)  # [k] on device
+                else:
+                    loss = self._single_train_step(batch)
+                # device scalar/vector — no host sync in the hot loop; the
+                # only sync is the (rare) log-interval print below
+                losses.append(jnp.atleast_1d(loss))
                 if (i + 1) % log_every_n_steps == 0:
+                    last = loss if getattr(loss, "ndim", 0) == 0 else loss[-1]
                     lr = self._current_lr()
                     lr_txt = f" lr={lr:.3e}" if np.isfinite(lr) else ""
                     if self.progress_bar:
                         iterator.set_postfix(
-                            train_loss=f"{float(loss):.4f}", refresh=False
+                            train_loss=f"{float(last):.4f}", refresh=False
                         )
                     else:
                         self.info(
                             f"epoch {epoch} step {i+1}: "
-                            f"train_loss={float(loss):.4f}{lr_txt}"
+                            f"train_loss={float(last):.4f}{lr_txt}"
                         )
-                    metrics = {"train_loss": float(loss)}
+                    metrics = {"train_loss": float(last)}
                     if np.isfinite(lr):
                         metrics["lr"] = lr
                     self._log_metrics(metrics, step=self.state.step)
+            # flush per-shape leftovers (fewer than k batches buffered)
+            for group in buf.values():
+                for b in group:
+                    losses.append(
+                        jnp.atleast_1d(self._single_train_step(b))
+                    )
             # single host sync per epoch
-            train_loss = float(jnp.mean(jnp.stack(losses)))
+            train_loss = float(jnp.mean(jnp.concatenate(losses)))
             epoch_time = time.time() - t0
             events_per_s = n_events / max(epoch_time, 1e-9)
             history["train_loss"].append(train_loss)

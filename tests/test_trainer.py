@@ -95,6 +95,55 @@ class TestTrainer:
         # raw softplus output) is positive
         assert (df["energy_pred"] > 0).all()
 
+    def test_steps_per_dispatch_matches_single(self):
+        """k steps per dispatch (lax.scan) == k sequential steps exactly:
+        same per-step losses, same final params — including a leftover
+        batch flushed through the single-step path."""
+        import jax
+
+        from graphnet_tpu.batch import make_batch
+
+        rng = np.random.default_rng(0)
+
+        def batches():
+            out = []
+            for s in range(5):  # 5 batches: 2 scan dispatches + 1 flush
+                r = np.random.default_rng(s)
+                events = [
+                    r.standard_normal((int(r.integers(5, 31)), 4)).astype(
+                        np.float32
+                    )
+                    for _ in range(8)
+                ]
+                labels = {
+                    "total_energy": np.abs(
+                        r.standard_normal(8).astype(np.float32) * 50 + 100
+                    )
+                }
+                out.append(make_batch(events, labels=labels, length=32))
+            return out
+
+        def run(spd):
+            _, model = build()
+            trainer = Trainer(
+                model, learning_rate=1e-3, steps_per_dispatch=spd
+            )
+            history = trainer.fit(
+                batches(), max_epochs=1, use_default_schedule=False
+            )
+            return history["train_loss"][0], trainer.state.params
+
+        loss1, params1 = run(1)
+        loss2, params2 = run(2)
+        np.testing.assert_allclose(loss2, loss1, rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params1),
+            jax.tree_util.tree_leaves(params2),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7
+            )
+
     def test_state_dict_roundtrip(self, tmp_path):
         ds, model = build(selection=None)
         loader = DataLoader(ds, batch_size=8, shuffle=False)

@@ -312,13 +312,23 @@ def bench_tito_l1024(compute_dtype="bfloat16") -> dict:
     }
 
 
-def bench_e2e_loader(n_epochs: int = 4, n_events_db: int = 2000) -> dict:
+def bench_e2e_loader(
+    n_epochs: int = 4,
+    n_events_db: int = 2000,
+    steps_per_dispatch: int = 4,
+) -> dict:
     """End-to-end training throughput: Prometheus SQLite DB →
     SQLiteDataset → DataLoader → PrefetchingLoader → jitted train step.
 
     Measures what a user sees (host queries + graph build + padding +
     device step, host work overlapped by the prefetch thread).  A single
     padded shape is forced (bucket 128) so the bench compiles once.
+
+    Two phases, each ``n_epochs`` (first epoch = compile/warmup,
+    excluded): one dispatch per step, then ``steps_per_dispatch`` steps
+    per dispatch via ``lax.scan`` (the ``Trainer(steps_per_dispatch=k)``
+    path) — on a dispatch-latency-bound runtime the second phase is the
+    production configuration.
 
     The bundled example DB has only 50 events (two batches per epoch at
     production batch size), so the bench bootstrap-resamples it into a
@@ -376,39 +386,104 @@ def bench_e2e_loader(n_epochs: int = 4, n_events_db: int = 2000) -> dict:
     )
     optimizer = optax.adam(1e-3, eps=1e-3)
 
+    def loss_fn(p, batch):
+        return model.loss_from_batch(model.apply(p, batch), batch)
+
     @jax.jit
     def step(params, opt_state, batch):
-        def loss_fn(p):
-            return model.loss_from_batch(model.apply(p, batch), batch)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @jax.jit
+    def scan_step(params, opt_state, batches):
+        # stack the k batches on device (they were device_put by the
+        # prefetch thread — host stacking would be a D2H readback)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *batches
+        )
+
+        def one(carry, b):
+            p, o = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, b)
+            updates, o = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), stacked
+        )
+        return params, opt_state, losses[-1]
+
     params = opt_state = None
-    n_events = 0
     loss = None
-    t0 = None
-    for epoch in range(n_epochs):
-        for batch in PrefetchingLoader(loader, prefetch=2):
-            if params is None:
-                params = model.init(jax.random.PRNGKey(0), batch)
-                opt_state = optimizer.init(params)
-            params, opt_state, loss = step(params, opt_state, batch)
-            if t0 is not None:  # epoch 0 = compile + warmup, excluded
-                n_events += batch.batch_size
-        if epoch == 0:
-            jax.block_until_ready(loss)
-            t0 = time.perf_counter()
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+
+    def run_phase(k: int, params, opt_state):
+        """n_epochs over the DB with k steps/dispatch; epoch 0 excluded
+        (compile + warmup).  Returns (events_per_s, params, opt_state)."""
+        nonlocal loss
+        n_events = 0
+        t0 = None
+        for epoch in range(n_epochs):
+            buf = {}  # padded-shape key -> buffered batches (Trainer's scheme)
+            for batch in PrefetchingLoader(loader, prefetch=2 * k):
+                if params is None:
+                    params = model.init(jax.random.PRNGKey(0), batch)
+                    opt_state = optimizer.init(params)
+                if k > 1:
+                    leaves = jax.tree_util.tree_leaves(batch)
+                    key = tuple(getattr(x, "shape", ()) for x in leaves)
+                    group = buf.setdefault(key, [])
+                    group.append(batch)
+                    if len(group) < k:
+                        continue
+                    del buf[key]
+                    params, opt_state, loss = scan_step(
+                        params, opt_state, tuple(group)
+                    )
+                    if t0 is not None:
+                        n_events += sum(b.batch_size for b in group)
+                else:
+                    params, opt_state, loss = step(params, opt_state, batch)
+                    if t0 is not None:
+                        n_events += batch.batch_size
+            for group in buf.values():  # leftovers (< k): single steps
+                for batch in group:
+                    params, opt_state, loss = step(params, opt_state, batch)
+                    if t0 is not None:
+                        n_events += batch.batch_size
+            if epoch == 0:
+                jax.block_until_ready(loss)
+                t0 = time.perf_counter()
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        return n_events / dt, params, opt_state
+
+    eps_k1, params, opt_state = run_phase(1, params, opt_state)
+    eps_kn, params, opt_state = (
+        run_phase(steps_per_dispatch, params, opt_state)
+        if steps_per_dispatch > 1
+        else (eps_k1, params, opt_state)
+    )
+    # Headline = the faster mode.  When the host pipeline (not dispatch
+    # latency) is the bottleneck, k>1 only adds buffering stalls and the
+    # single-dispatch number wins — report both so the comparison is
+    # honest (measured on TPU 2026-08-17: k=1 11082 vs k=4 9754 ev/s,
+    # i.e. e2e is loader-bound; steps_per_dispatch pays off only when
+    # the loader outruns per-dispatch latency).
+    best_k = 1 if eps_k1 >= eps_kn else steps_per_dispatch
     return {
-        "events_per_s": round(n_events / dt, 1),
-        "n_events": n_events,
+        "events_per_s": round(max(eps_k1, eps_kn), 1),
+        "best_steps_per_dispatch": best_k,
+        "single_dispatch_events_per_s": round(eps_k1, 1),
+        "multi_dispatch_events_per_s": round(eps_kn, 1),
+        "steps_per_dispatch": steps_per_dispatch,
         "epochs_timed": n_epochs - 1,
         "note": f"{n_events_db}-event synthetic DB (bootstrap of the "
         "bundled 50-event DB); host pipeline rebuilds graphs every "
-        "epoch (no caching)",
+        "epoch (no caching); both one-dispatch-per-step and "
+        f"Trainer(steps_per_dispatch={steps_per_dispatch}) (k optimiser "
+        "steps per device dispatch via lax.scan) measured; headline is "
+        "the faster mode",
     }
 
 

@@ -28,8 +28,13 @@ def test_bench_jax_and_roofline(tiny):
 
 
 def test_bench_e2e_loader_section(tiny):
-    out = bench.bench_e2e_loader(n_epochs=2, n_events_db=150)
+    out = bench.bench_e2e_loader(
+        n_epochs=2, n_events_db=150, steps_per_dispatch=2
+    )
     assert out.get("events_per_s", 0) > 0 or "skipped" in out
+    if "skipped" not in out:
+        assert out["single_dispatch_events_per_s"] > 0
+        assert out["steps_per_dispatch"] == 2
 
 
 def test_bench_inference_section(tiny):

@@ -36,7 +36,7 @@ def main() -> None:
         print(
             f"  first batch: x{tuple(batch.x.shape)} "
             f"mask{tuple(batch.mask.shape)} "
-            f"labels={sorted(batch.labels)[:4]}..."
+            f"labels={sorted(batch.unpacked().labels)[:4]}..."
         )
 
 

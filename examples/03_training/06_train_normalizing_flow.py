@@ -80,7 +80,7 @@ def main() -> None:
         ]
     )
     mode = grid[np.argmax(logp[:, 0])]
-    truth = float(np.log10(np.asarray(batch.labels["total_energy"])[0]))
+    truth = float(np.log10(np.asarray(batch.unpacked().labels["total_energy"])[0]))
     print(f"event 0: density mode at log10(E)={mode:.2f}, truth {truth:.2f}")
 
 

@@ -156,10 +156,6 @@ def collate_from_arrays(
     return batch, valid, B * L
 
 
-# split functions cached by label layout; jit further caches per shape
-_SPLIT_CACHE: Dict[tuple, "object"] = {}
-
-
 def _to_device_packed(
     x: np.ndarray,
     mask: np.ndarray,
@@ -170,18 +166,20 @@ def _to_device_packed(
     """Host→device with label packing.
 
     A Prometheus truth table alone yields ~38 label arrays; transferring
-    each as its own buffer makes the per-batch host→device cost scale
-    with the *leaf count*, not the byte count (measured on the tunneled
-    TPU runtime: 41-leaf batch ≈ 34 ms vs ≈ 3 ms for a handful of
-    leaves — pure per-buffer overhead).  So: concatenate all float labels
-    into one ``[B, Kf]`` array and all int/bool labels into one
-    ``[B, Ki]`` int32 array, transfer ≤6 leaves in one batched
-    ``device_put``, and split back into the per-label dict on device with
-    a single cached jitted call (the slices are device-side views; one
-    extra dispatch replaces ~35 transfers).
+    (and later passing to every step dispatch) each as its own buffer
+    makes both the per-batch host→device cost AND the per-step dispatch
+    cost scale with the *leaf count*, not the byte count (measured on
+    the tunneled TPU runtime: 41-leaf batch ≈ 34 ms to put once
+    degraded, and ~5 ms of blocking host work per 41-leaf step
+    dispatch).  So: concatenate all float labels into one ``[B, Kf]``
+    array and all int/bool labels into one ``[B, Ki]`` int32 array,
+    transfer ≤6 leaves in one batched ``device_put``, and keep them
+    packed in the ``EventBatch`` — the label dicts are restored by
+    ``EventBatch.unpack()`` *inside* the consumer's jit
+    (``StandardModel.loss_from_batch``), so the hot-loop dispatch
+    carries ~5 leaves.
     """
     import jax
-    import jax.numpy as jnp
 
     B = x.shape[0]
     fspec: list = []  # (key, width, is_scalar)
@@ -220,40 +218,14 @@ def _to_device_packed(
     if not (fspec or ispec or nspec):
         return EventBatch(x=xd, mask=maskd, n_pulses=npd)
 
-    key = (tuple(fspec), tuple(ispec), nspec)
-    split = _SPLIT_CACHE.get(key)
-    if split is None:
-
-        def _split(fl, il, nl):
-            out: Dict[str, jnp.ndarray] = {}
-            o = 0
-            for k, w, scalar in key[0]:
-                col = fl[:, o : o + w]
-                out[k] = col[:, 0] if scalar else col
-                o += w
-            o = 0
-            for k, w, scalar, isbool in key[1]:
-                col = il[:, o : o + w]
-                if isbool:
-                    col = col.astype(bool)
-                out[k] = col[:, 0] if scalar else col
-                o += w
-            nout = {
-                k: nl[..., i] for i, k in enumerate(key[2])
-            }
-            return out, nout
-
-        split = jax.jit(_split)
-        _SPLIT_CACHE[key] = split
-
-    zero = jnp.zeros((), jnp.float32)  # placeholder for absent groups
-    ld, nld = split(
-        fl if fl is not None else zero,
-        il if il is not None else zero,
-        nl if nl is not None else zero,
-    )
     return EventBatch(
-        x=xd, mask=maskd, n_pulses=npd, labels=ld, node_labels=nld
+        x=xd,
+        mask=maskd,
+        n_pulses=npd,
+        packed_f=fl,
+        packed_i=il,
+        packed_nl=nl,
+        label_spec=(tuple(fspec), tuple(ispec), nspec),
     )
 
 

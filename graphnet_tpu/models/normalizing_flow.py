@@ -258,6 +258,7 @@ class NormalizingFlow(nn.Module):
     def __call__(
         self, batch: EventBatch, inference: bool = False
     ) -> Array:
+        batch = batch.unpack()  # packed-label transport (batch.py)
         latents = self._conditioning(batch)
         params = self._flow_params(latents)
         cols = []
@@ -429,6 +430,7 @@ class SphericalFlow(nn.Module):
     def __call__(
         self, batch: EventBatch, inference: bool = False
     ) -> Array:
+        batch = batch.unpack()  # packed-label transport (batch.py)
         mu, kappa, log_w = self._mixture_params(
             self._conditioning(batch)
         )

@@ -95,6 +95,7 @@ class StandardModel(nn.Module):
         self, outputs: List[Tuple[Array, Array]], batch: EventBatch
     ) -> Array:
         """Loss with node-level truth routed from the batch."""
+        batch = batch.unpack()  # packed-label transport (batch.py)
         return self.loss(
             outputs,
             batch.labels,

@@ -56,10 +56,23 @@ def shard_batch_nodes(batch, mesh: Mesh):
         k: put(v, P("data", "graph"))
         for k, v in batch.node_labels.items()
     }
+    # packed-label transport (batch.py): per-event blocks shard over
+    # ``data`` only, the node-label block over ``data`` x ``graph``
+    packed = {
+        name: (
+            put(v, spec) if v is not None else None
+        )
+        for name, v, spec in (
+            ("packed_f", batch.packed_f, P("data")),
+            ("packed_i", batch.packed_i, P("data")),
+            ("packed_nl", batch.packed_nl, P("data", "graph")),
+        )
+    }
     return batch.replace(
         x=x,
         mask=mask,
         n_pulses=n_pulses,
         labels=labels,
         node_labels=node_labels,
+        **packed,
     )

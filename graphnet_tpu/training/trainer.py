@@ -702,6 +702,10 @@ class Trainer(Logger):
             sb = self._shard_batch(batch)
             if self.state is None:
                 self.init(sb)
+            if additional_attributes:
+                # restore the label dicts from packed transport (one
+                # jitted dispatch; predict is off the hot training loop)
+                batch = batch.unpacked()
             outs = [
                 np.asarray(o)[: batch.batch_size]  # drop pad events
                 for o in self._predict_fn(self.state.params, sb)

@@ -123,6 +123,7 @@ class TestDataLoader:
         )
         dl = DataLoader(ds, batch_size=8, shuffle=False)
         b = next(iter(dl))
+        b = b.unpacked()
         assert b.labels["direction"].shape == (b.batch_size, 3)
         assert b.labels["injection_energy"].shape == (b.batch_size,)
 

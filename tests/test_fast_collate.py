@@ -52,6 +52,7 @@ def _assert_batches_equal(fast, slow):
         np.testing.assert_array_equal(
             np.asarray(bf.n_pulses), np.asarray(bs.n_pulses)
         )
+        bf, bs = bf.unpacked(), bs.unpacked()
         assert set(bf.labels) == set(bs.labels)
         for k in bs.labels:
             a, b = np.asarray(bf.labels[k]), np.asarray(bs.labels[k])
@@ -90,7 +91,7 @@ def test_unsupported_label_falls_back(db):
     assert loader._fast_ok is False  # plain callable has no .batched
     assert sum(b.batch_size for b in batches) == 48
     assert all(
-        float(np.asarray(b.labels["const"]).min()) == 1.0 for b in batches
+        float(np.asarray(b.unpacked().labels["const"]).min()) == 1.0 for b in batches
     )
 
 

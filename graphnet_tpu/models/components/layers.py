@@ -108,10 +108,12 @@ class EdgeConv(nn.Module):
     def _use_fused(self, L: int) -> bool:
         """The fused Pallas kernel covers 2-layer (leaky-)relu add/max
         configurations (DynEdge's and TITO's) on TPU, within VMEM
-        limits."""
+        limits.  ``mean`` rides the add kernel: the division by the
+        per-node valid-edge count happens outside the kernel (exact —
+        the count does not depend on the messages)."""
         if (
             len(self.nn_sizes) != 2
-            or self.aggr not in ("add", "max")
+            or self.aggr not in ("add", "max", "mean")
             or self.activation not in ("relu", "leaky_relu")
             or self.add_norm_layer
         ):
@@ -155,10 +157,14 @@ class EdgeConv(nn.Module):
                 )
 
                 slope = 0.01 if self.activation == "leaky_relu" else 0.0
-                return fused_edgeconv(
+                out = fused_edgeconv(
                     a, b, idx, edge_mask, w2c, b2c, 128,
-                    self.aggr, slope,
+                    "add" if self.aggr == "mean" else self.aggr, slope,
                 )
+                if self.aggr == "mean":
+                    n = jnp.sum(edge_mask, axis=2)[..., None]
+                    out = out / jnp.maximum(n, 1).astype(out.dtype)
+                return out
             msgs = act(a[:, :, None, :] + gather_neighbors(b, idx))
             msgs = act(
                 jnp.einsum(

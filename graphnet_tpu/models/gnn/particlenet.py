@@ -17,12 +17,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from graphnet_tpu.batch import EventBatch
-from graphnet_tpu.models.components.layers import (
-    edge_conv_message_inputs,
-    resolve_activation,
-)
+from graphnet_tpu.models.components.layers import resolve_activation
 from graphnet_tpu.models.gnn.gnn import GNN
-from graphnet_tpu.ops import edge_reduce, global_pool, knn_graph
+from graphnet_tpu.ops import (
+    edge_reduce,
+    gather_neighbors,
+    global_pool,
+    knn_graph,
+)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -55,9 +57,18 @@ class ParticleNeTConv(nn.Module):
     @nn.compact
     def __call__(self, x, idx, edge_mask):
         act = resolve_activation(self.activation)
-        h = edge_conv_message_inputs(x, idx)
+        # First layer linearised (same rewrite as EdgeConv,
+        # layers.py:92): cat[x_i, x_j - x_i] @ [W1; W2] =
+        # x_i @ (W1 - W2) + x_j @ W2, so the [B, L, k, 2D] message
+        # input tensor is never materialised and the first Dense runs
+        # per node instead of per edge (k x fewer matmul rows). Exact.
+        h0 = self.nn_sizes[0]
+        a = nn.Dense(h0, name="self_dense")(x)
+        b = nn.Dense(h0, use_bias=False, name="nbr_dense")(x)
+        h = a[:, :, None, :] + gather_neighbors(b, idx)
         for i, size in enumerate(self.nn_sizes):
-            h = nn.Dense(size, name=f"dense_{i}")(h)
+            if i > 0:
+                h = nn.Dense(size, name=f"dense_{i}")(h)
             if self.add_batchnorm:
                 h = MaskedBatchNorm(name=f"bn_{i}")(h, edge_mask)
             h = act(h)

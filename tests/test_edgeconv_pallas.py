@@ -134,3 +134,56 @@ def test_max_leaky_forward_and_grads():
             atol=1e-4,
             err_msg=name,
         )
+
+
+def test_mean_via_add_kernel_plus_divide():
+    """EdgeConv's aggr="mean" fused path = add kernel / valid-edge count;
+    must equal edge_reduce(msgs, em, "mean") of the XLA formulation,
+    values and gradients."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from graphnet_tpu.ops.edgeconv_pallas import fused_edgeconv
+    from graphnet_tpu.ops import edge_reduce
+
+    a, b, idx, em, w2, b2 = make_inputs(seed=3)
+    emf = em.astype(jnp.float32)
+
+    def ref_mean(a, b, w2, b2):
+        gathered = jnp.take_along_axis(
+            b[:, :, None, :], idx[:, :, :, None], axis=1
+        )
+        msgs = jnp.maximum(
+            jnp.maximum(a[:, :, None, :] + gathered, 0.0) @ w2 + b2,
+            0.0,
+        )
+        return edge_reduce(msgs, em, "mean")
+
+    def fused_mean(a, b, w2, b2):
+        out = fused_edgeconv(a, b, idx, em, w2, b2, 32, "add", 0.0)
+        n = jnp.sum(em, axis=2)[..., None]
+        return out / jnp.maximum(n, 1).astype(out.dtype)
+
+    expected = np.asarray(ref_mean(a, b, w2, b2))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_mean(a, b, w2, b2))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+    def loss_ref(a, b, w2, b2):
+        return jnp.sum(ref_mean(a, b, w2, b2) ** 2)
+
+    def loss_fused(a, b, w2, b2):
+        return jnp.sum(fused_mean(a, b, w2, b2) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(a, b, w2, b2)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+            a, b, w2, b2
+        )
+    for name, gr, gf in zip(("da", "db", "dw2", "db2"), g_ref, g_fused):
+        np.testing.assert_allclose(
+            np.asarray(gf),
+            np.asarray(gr),
+            rtol=1e-4,
+            atol=1e-4,
+            err_msg=name,
+        )

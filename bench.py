@@ -277,7 +277,9 @@ def bench_tito_l1024(compute_dtype="bfloat16") -> dict:
     optimizer = optax.adam(1e-3, eps=1e-3)
     opt_state = optimizer.init(params)
 
-    n_inner = 10
+    # same chip-bound protocol as the headline section (N_STEPS scanned
+    # inside one executable, params threaded through the carry)
+    n_inner = N_STEPS
 
     @jax.jit
     def steps(params, opt_state, batch):

@@ -27,6 +27,26 @@ if has_icecube_package():
     )
 
 
+def frame_is_montecarlo(frame, mctree: str = "I3MCTree") -> bool:
+    """True if the frame carries Monte-Carlo truth (reference
+    ``extractors/icecube/utilities/frames.py:14-18``)."""
+    return ("MCInIcePrimary" in frame) or (mctree in frame)
+
+
+def frame_is_noise(frame, mctree: str = "I3MCTree") -> bool:
+    """True if the frame is a pure-noise event: no primary with an
+    energy in either truth container (reference ``frames.py:21-33``)."""
+    try:
+        frame[mctree][0].energy
+        return False
+    except Exception:
+        try:
+            frame["MCInIcePrimary"].energy
+            return False
+        except Exception:
+            return True
+
+
 class I3Extractor(Extractor):
     """Base for extractors operating on (physics frame, gcd file)."""
 
@@ -161,6 +181,24 @@ class I3FeatureExtractorIceCubeUpgrade(I3FeatureExtractorIceCube86):
                 extra["pmt_dir_z"].append(om.orientation.z)
                 extra["dom_type"].append(om.omtype)
         output.update(extra)
+        return output
+
+
+class I3PulseNoiseTruthFlagIceCubeUpgrade(I3FeatureExtractorIceCubeUpgrade):
+    """Upgrade features plus a per-pulse ``truth_flag`` column read from a
+    noise-truth pulse map, where each stored "pulse" entry *is* the flag
+    (reference ``i3featureextractor.py:263-307``)."""
+
+    def __call__(self, frame) -> Dict[str, List[float]]:
+        output = super().__call__(frame)
+        output["truth_flag"] = []
+        try:
+            pulse_map = self._get_pulse_map(frame)
+        except KeyError:
+            return output
+        for _, pulses in pulse_map.items():
+            for truth_flag in pulses:
+                output["truth_flag"].append(truth_flag)
         return output
 
 

@@ -12,6 +12,28 @@ from pathlib import Path
 from typing import List, Optional, Tuple, Union
 
 
+def has_extension(filename: str, extensions: List[str]) -> bool:
+    """True iff ``filename`` ends in one of ``extensions``
+    (reference ``filesys.py:27-30``)."""
+    return bool(re.search("(" + "|".join(extensions) + ")$", filename))
+
+
+def pairwise_shuffle(
+    i3_list: List[str], gcd_list: List[str], seed: Optional[int] = None
+) -> Tuple[List[str], List[str]]:
+    """Shuffle I3 files and their paired GCD files together — evens out
+    per-worker extraction load (reference ``data/utilities/random.py``;
+    seedable here for reproducible conversion runs)."""
+    import random as _random
+
+    order = list(range(len(i3_list)))
+    _random.Random(seed).shuffle(order)
+    return (
+        [i3_list[i] for i in order],
+        [gcd_list[i] for i in order],
+    )
+
+
 def is_gcd_file(filename: str) -> bool:
     """True iff ``filename`` looks like a GCD (geometry/calibration) file
     (reference ``filesys.py:8-15``)."""

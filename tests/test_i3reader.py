@@ -191,10 +191,18 @@ def test_i3_converters_constructible_without_icetray(tmp_path):
 
 def test_niche_extractors_on_fake_frames():
     from graphnet_tpu.data.extractors.icecube import (
+        I3FeatureExtractorIceCubeUpgrade,
         I3GalacticPlaneHybridRecoExtractor,
         I3NTMuonLabelExtractor,
         I3PISAExtractor,
+        I3PulseNoiseTruthFlagIceCubeUpgrade,
     )
+
+    # noise-truth-flag variant: constructible without icetray, extends the
+    # Upgrade feature extractor (pulse decoding itself needs IceTray)
+    flag = I3PulseNoiseTruthFlagIceCubeUpgrade("SplitInIcePulses")
+    assert isinstance(flag, I3FeatureExtractorIceCubeUpgrade)
+    assert flag._pulsemap == "SplitInIcePulses"
 
     pisa = I3PISAExtractor()
     out = pisa(FakeFrame({"I3MCWeightDict": {"OneWeight": 2.5}}))
@@ -218,3 +226,42 @@ def test_niche_extractors_on_fake_frames():
     out = hyb(FakeFrame({"DNNCascadeAnalysis_version_001_p00": reco}))
     assert out["zenith_hybrid"] == reco["zen"]
     assert out["energy_hybrid_log"] == reco["logE"]
+
+
+def test_frame_mc_and_noise_helpers():
+    from graphnet_tpu.data.extractors.icecube import (
+        frame_is_montecarlo,
+        frame_is_noise,
+    )
+
+    class Particle:
+        energy = 10.0
+
+    mc = FakeFrame({"I3MCTree": [Particle()]})
+    assert frame_is_montecarlo(mc)
+    assert not frame_is_noise(mc)
+
+    data = FakeFrame({})
+    assert not frame_is_montecarlo(data)
+    assert frame_is_noise(data)
+
+    # MCTree present but empty (noise sim): montecarlo yet noise
+    noise = FakeFrame({"I3MCTree": []})
+    assert frame_is_montecarlo(noise)
+    assert frame_is_noise(noise)
+
+
+def test_has_extension_and_pairwise_shuffle():
+    from graphnet_tpu.data.filesys import has_extension, pairwise_shuffle
+
+    assert has_extension("run1.i3.bz2", ["bz2", "zst", "gz"])
+    assert not has_extension("run1.i3.txt", ["bz2", "zst", "gz"])
+
+    i3 = [f"f{i}.i3.gz" for i in range(10)]
+    gcd = [f"g{i}.i3.gz" for i in range(10)]
+    i3s, gcds = pairwise_shuffle(i3, gcd, seed=7)
+    assert sorted(i3s) == sorted(i3)
+    # pairing preserved
+    for a, b in zip(i3s, gcds):
+        assert a[1:] == b[1:]
+    assert i3s != i3  # actually shuffled at this seed

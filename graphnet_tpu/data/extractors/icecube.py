@@ -186,18 +186,18 @@ class I3FeatureExtractorIceCubeUpgrade(I3FeatureExtractorIceCube86):
 
 class I3PulseNoiseTruthFlagIceCubeUpgrade(I3FeatureExtractorIceCubeUpgrade):
     """Upgrade features plus a per-pulse ``truth_flag`` column read from a
-    noise-truth pulse map, where each stored "pulse" entry *is* the flag
-    (reference ``i3featureextractor.py:263-307``)."""
+    noise-truth pulse map, where each stored entry *is* the flag value —
+    the container is a key→vector-of-flags map, NOT an I3RecoPulseSeriesMap,
+    so it is read straight off the frame (reference
+    ``i3featureextractor.py:263-307``)."""
 
     def __call__(self, frame) -> Dict[str, List[float]]:
         output = super().__call__(frame)
         output["truth_flag"] = []
-        try:
-            pulse_map = self._get_pulse_map(frame)
-        except KeyError:
+        if self._pulsemap not in frame:
             return output
-        for _, pulses in pulse_map.items():
-            for truth_flag in pulses:
+        for _, flags in frame[self._pulsemap].items():
+            for truth_flag in flags:
                 output["truth_flag"].append(truth_flag)
         return output
 

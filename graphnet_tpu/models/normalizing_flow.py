@@ -216,6 +216,10 @@ class NormalizingFlow(nn.Module):
         return self._cond_1(nn.relu(self._cond_0(h)))
 
     def _conditioning(self, batch: EventBatch) -> Array:
+        # every density entry point (log_prob/sample/...) funnels through
+        # here, so the packed-label transport is unpacked here too (no-op
+        # when labels are already dicts; __call__'s unpack then no-ops)
+        batch = batch.unpack()
         latents = self.backbone(batch)
         if self.condition_columns:
             extra = [
@@ -408,6 +412,10 @@ class SphericalFlow(nn.Module):
         return jnp.asarray(pts, jnp.float32)
 
     def _conditioning(self, batch: EventBatch) -> Array:
+        # every density entry point (log_prob/sample/...) funnels through
+        # here, so the packed-label transport is unpacked here too (no-op
+        # when labels are already dicts; __call__'s unpack then no-ops)
+        batch = batch.unpack()
         latents = self.backbone(batch)
         if self.condition_columns:
             extra = [

@@ -69,10 +69,16 @@ def knn_graph_batch(
         ``(idx, edge_mask)``: ``[B, L, max_k]`` indices and valid-edge mask.
     """
     ks = jnp.atleast_1d(jnp.asarray(k, jnp.int32))
+    B = coords.shape[0]
+    if ks.shape[0] not in (1, B):
+        raise ValueError(
+            f"k must be a scalar or one per event: got {ks.shape[0]} "
+            f"values for batch size {B}"
+        )
     max_k = int(np.max(np.asarray(k)))
     idx, edge_mask = knn_graph(coords, mask, max_k)
-    per_event = ks if ks.shape[0] == coords.shape[0] else jnp.full(
-        (coords.shape[0],), ks[0], jnp.int32
+    per_event = ks if ks.shape[0] == B else jnp.full(
+        (B,), ks[0], jnp.int32
     )
     rank = jnp.arange(max_k, dtype=jnp.int32)[None, None, :]
     edge_mask = edge_mask & (rank < per_event[:, None, None])

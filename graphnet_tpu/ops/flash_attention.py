@@ -285,6 +285,12 @@ def flash_attention(
         tq = _pick_tile(L, TQ)
     if ts is None:
         ts = _pick_tile(L, TS)
+    # the pallas grids are L // tq and L // ts — a non-dividing tile
+    # would silently leave output tail rows unwritten
+    if L % tq or L % ts:
+        raise ValueError(
+            f"L={L} must be divisible by tq={tq} and ts={ts}"
+        )
     if scale is None:
         scale = 1.0 / float(np.sqrt(D))
     if key_padding_mask is None:

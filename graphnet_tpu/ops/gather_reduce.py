@@ -142,13 +142,28 @@ def homophily(
         values = values[..., None]
     B, L, k = idx.shape
     C = values.shape[-1]
-    onehot = (
-        idx.reshape(B, L * k)[..., None]
-        == jnp.arange(L, dtype=idx.dtype)[None, None, :]
-    ).astype(values.dtype)
-    vj = jnp.einsum(
-        "bel,blc->bec", onehot, values
-    ).reshape(B, L, k, C)
+    # The one-hot operand is [B, L*k, L].  Cost model: the serial gather
+    # XLA emits for take_along_axis costs ~rows (B·L·k) at ~8 ns/row
+    # (profiled: ~1 ms/channel at B=128, L=128); the matmul costs its
+    # HBM traffic, B·L·k·L·4 B at ~820 GB/s — so the matmul wins for
+    # L ≲ 1600 *independent of B*, and the profiled DynEdge win (67 MB
+    # one-hot → ~50 us) sits comfortably inside.  Cap the transient at
+    # 512 MB so Gen2-scale shapes (L≥1024) take the gather instead of
+    # blowing HBM working set.
+    if L <= 512 and B * L * k * L * 4 <= 512 * 1024 * 1024:
+        onehot = (
+            idx.reshape(B, L * k)[..., None]
+            == jnp.arange(L, dtype=idx.dtype)[None, None, :]
+        ).astype(values.dtype)
+        vj = jnp.einsum(
+            "bel,blc->bec", onehot, values
+        ).reshape(B, L, k, C)
+    else:
+        vj = jnp.take_along_axis(
+            values[:, :, None, :],
+            idx[..., None],
+            axis=1,
+        )  # [B, L, k, C]
     same = (values[:, :, None, :] == vj) & edge_mask[..., None]
     n_edges = jnp.sum(edge_mask, axis=(1, 2))
     hom = jnp.sum(same, axis=(1, 2)) / jnp.maximum(n_edges, 1)[:, None]

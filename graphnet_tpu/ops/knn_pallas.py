@@ -23,54 +23,59 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30
 
 
-def _knn_kernel(q_ref, kx_ref, kmask_ref, idx_ref, d_ref, *, k, tl):
-    """One (batch, query-tile) program.
+def _knn_kernel(q_ref, kx_ref, kmask_ref, idx_ref, d_ref, *, k, tl, bb):
+    """One (batch-block, query-tile) program handling ``bb`` whole events
+    (multi-event blocks amortise per-program launch overhead for small L,
+    same trick as the fused EdgeConv kernel's ``_events_per_program``).
 
-    q_ref:    [1, TL, D]  query coords
-    kx_ref:   [1, L, D]   all coords of this event
-    kmask_ref:[1, 1, L]   validity of keys (float32 0/1)
-    idx_ref:  [1, TL, k]  out neighbour indices
-    d_ref:    [1, TL, k]  out neighbour squared distances
+    q_ref:    [bb, TL, D]  query coords
+    kx_ref:   [bb, L, D]   all coords of these events
+    kmask_ref:[bb, 1, L]   validity of keys (float32 0/1)
+    idx_ref:  [bb, TL, k]  out neighbour indices
+    d_ref:    [bb, TL, k]  out neighbour squared distances
     """
     t = pl.program_id(1)
-    q = q_ref[0]  # [TL, D]
-    kx = kx_ref[0]  # [L, D]
-    kmask = kmask_ref[0, 0]  # [L]
-    L = kx.shape[0]
+    L = kx_ref.shape[1]
+    for e in range(bb):
+        q = q_ref[e]  # [TL, D]
+        kx = kx_ref[e]  # [L, D]
+        kmask = kmask_ref[e, 0]  # [L]
 
-    qsq = jnp.sum(q * q, axis=1, keepdims=True)  # [TL, 1]
-    ksq = jnp.sum(kx * kx, axis=1)[None, :]  # [1, L]
-    cross = jax.lax.dot_general(
-        q,
-        kx,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [TL, L]
-    d2 = jnp.maximum(qsq + ksq - 2.0 * cross, 0.0)
-    # mask invalid keys and self edges
-    d2 = jnp.where(kmask[None, :] > 0.5, d2, _BIG)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tl, L), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (tl, L), 0) + t * tl
-    d2 = jnp.where(col == row, _BIG, d2)
+        qsq = jnp.sum(q * q, axis=1, keepdims=True)  # [TL, 1]
+        ksq = jnp.sum(kx * kx, axis=1)[None, :]  # [1, L]
+        cross = jax.lax.dot_general(
+            q,
+            kx,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TL, L]
+        d2 = jnp.maximum(qsq + ksq - 2.0 * cross, 0.0)
+        # mask invalid keys and self edges
+        d2 = jnp.where(kmask[None, :] > 0.5, d2, _BIG)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tl, L), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tl, L), 0) + t * tl
+        d2 = jnp.where(col == row, _BIG, d2)
 
-    # streaming k-selection: k rounds of (min, argmin-by-lowest-index, mask)
-    for kk in range(k):
-        m = jnp.min(d2, axis=1, keepdims=True)  # [TL, 1]
-        is_min = d2 == m
-        # lowest index among the minima (tie-break parity with top_k)
-        cand = jnp.where(is_min, col, L)
-        a = jnp.min(cand, axis=1)  # [TL]
-        idx_ref[0, :, kk] = a
-        d_ref[0, :, kk] = m[:, 0]
-        d2 = jnp.where(col == a[:, None], _BIG, d2)
+        # streaming k-selection: k rounds of
+        # (min, argmin-by-lowest-index, mask)
+        for kk in range(k):
+            m = jnp.min(d2, axis=1, keepdims=True)  # [TL, 1]
+            is_min = d2 == m
+            # lowest index among the minima (tie-break parity with top_k)
+            cand = jnp.where(is_min, col, L)
+            a = jnp.min(cand, axis=1)  # [TL]
+            idx_ref[e, :, kk] = a
+            d_ref[e, :, kk] = m[:, 0]
+            d2 = jnp.where(col == a[:, None], _BIG, d2)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "events_per_program"))
 def knn_graph_pallas(
     coords: jax.Array,
     mask: jax.Array,
     k: int = 8,
     tile: int = 128,
+    events_per_program: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched kNN via the fused Pallas kernel.
 
@@ -94,33 +99,40 @@ def knn_graph_pallas(
     coords = (coords - center[:, None, :]).astype(jnp.float32)
     fmask = mask.astype(jnp.float32)
 
-    grid = (B, L // tile)
+    # events per program (measured on a v5e at B=128, L=128: bb=1 is the
+    # fastest — 0.28 ms for the DynEdge layer; bb=4 costs ~0.3 ms MORE per
+    # train step because larger VMEM blocks serialise the DMA/compute
+    # pipeline that the 1-event grid overlaps; kept as an option for other
+    # shapes)
+    bb = events_per_program if (L // tile == 1 and B % events_per_program == 0) else 1
+
+    grid = (B // bb, L // tile)
     idx, d2 = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, tl=tile),
+        functools.partial(_knn_kernel, k=k, tl=tile, bb=bb),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, tile, D),
+                (bb, tile, D),
                 lambda b, t: (b, t, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, L, D), lambda b, t: (b, 0, 0),
+                (bb, L, D), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, L), lambda b, t: (b, 0, 0),
+                (bb, 1, L), lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, tile, k),
+                (bb, tile, k),
                 lambda b, t: (b, t, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile, k),
+                (bb, tile, k),
                 lambda b, t: (b, t, 0),
                 memory_space=pltpu.VMEM,
             ),

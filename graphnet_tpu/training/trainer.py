@@ -107,6 +107,13 @@ class Trainer(Logger):
         assert param_sharding in ("replicated", "fsdp", "tp", "fsdp+tp")
         self.param_sharding = param_sharding
         self.model_axis = model_axis
+        if param_sharding != "replicated":
+            # fail fast: without a mesh, _replicate is a no-op and the
+            # requested sharding would silently not happen
+            assert mesh is not None, (
+                f"param_sharding={param_sharding!r} requires mesh=... "
+                "(use graphnet_tpu.parallel.mesh.make_mesh)"
+            )
         if "tp" in param_sharding and mesh is not None:
             assert model_axis in mesh.axis_names, (
                 f"param_sharding={param_sharding!r} needs a mesh with a "

@@ -36,14 +36,16 @@ def test_pallas_knn_matches_xla_interpret():
 
 
 @pytest.mark.parametrize(
-    "B,L,tile",
+    "B,L,tile,bb",
     [
-        (8, 128, 128),  # bb=8 event-batched program
-        (5, 64, 64),  # B indivisible -> bb=1
-        (4, 256, 128),  # multi-tile (tl < L) -> bb=1
+        (8, 128, 128, 8),  # multi-event program (events_per_program=8)
+        (8, 128, 128, 4),  # multi-event program, partial
+        (5, 64, 64, 4),  # B indivisible -> falls back to bb=1
+        (4, 256, 128, 4),  # multi-tile (tl < L) -> falls back to bb=1
+        (8, 128, 128, 1),  # production default
     ],
 )
-def test_pallas_knn_event_batching(B, L, tile):
+def test_pallas_knn_event_batching(B, L, tile, bb):
     from jax.experimental.pallas import tpu as pltpu
 
     from graphnet_tpu.ops.knn_pallas import knn_graph_pallas
@@ -59,7 +61,9 @@ def test_pallas_knn_event_batching(B, L, tile):
     batch = make_batch(events, length=L)
     i1, m1 = _knn_graph_xla(batch.x, batch.mask, k=8)
     with pltpu.force_tpu_interpret_mode():
-        i2, m2 = knn_graph_pallas(batch.x, batch.mask, k=8, tile=tile)
+        i2, m2 = knn_graph_pallas(
+            batch.x, batch.mask, k=8, tile=tile, events_per_program=bb
+        )
     i1, m1, i2, m2 = map(np.asarray, (i1, m1, i2, m2))
     np.testing.assert_array_equal(m1, m2)
     np.testing.assert_array_equal(

@@ -288,3 +288,64 @@ class TestSphericalFlow:
         truth = np.asarray(batch.unpacked().labels["direction"])
         cos = np.sum(md * truth, axis=1)
         assert cos.mean() > 0.8, cos
+
+
+def test_density_entry_points_on_packed_batches():
+    """log_prob/sample/mean_direction must unpack packed-label transport
+    batches (regression: only __call__ unpacked, so conditioning on a
+    label column raised KeyError on DataLoader batches)."""
+    from graphnet_tpu.data.dataloader import _to_device_packed
+
+    evs = events()
+    labels = {
+        "energy": np.asarray([1.0, 2.0, 0.5, 3.0], np.float32),
+        "azimuth": np.asarray([0.1, 0.2, 0.3, 0.4], np.float32),
+    }
+    batch = make_batch(evs, labels=labels, length=32)
+
+    def pack(b, lab):
+        return _to_device_packed(
+            np.asarray(b.x),
+            np.asarray(b.mask),
+            np.asarray(b.n_pulses),
+            lab,
+            {},
+        )
+
+    packed = pack(batch, labels)
+    assert packed.label_spec is not None and packed.labels == {}
+
+    flow = NormalizingFlow(
+        backbone=DynEdge(nb_inputs=4),
+        nb_targets=1,
+        target_labels=("energy",),
+        condition_columns=("azimuth",),
+    )
+    params = flow.init(jax.random.PRNGKey(0), packed)
+    y = np.asarray([[1.0], [2.0], [0.5], [3.0]], np.float32)
+    lp = flow.log_prob(params, packed, jnp.asarray(y))
+    assert np.isfinite(np.asarray(lp)).all()
+    s = flow.sample(params, packed, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(s)).all()
+
+    from graphnet_tpu.models.normalizing_flow import SphericalFlow
+
+    d = np.stack(
+        [np.ones(4), np.zeros(4), np.zeros(4)], axis=1
+    ).astype(np.float32)
+    batch2 = make_batch(
+        evs, labels={"direction": d, "azimuth": labels["azimuth"]}, length=32
+    )
+    packed2 = pack(
+        batch2, {"direction": d, "azimuth": labels["azimuth"]}
+    )
+    sflow = SphericalFlow(
+        backbone=DynEdge(nb_inputs=4),
+        target_labels=("direction",),
+        condition_columns=("azimuth",),
+    )
+    sparams = sflow.init(jax.random.PRNGKey(0), packed2)
+    lp2 = sflow.log_prob(sparams, packed2, jnp.asarray(d))
+    assert np.isfinite(np.asarray(lp2)).all()
+    md = sflow.mean_direction(sparams, packed2)
+    assert np.isfinite(np.asarray(md)).all()

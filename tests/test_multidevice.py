@@ -358,6 +358,97 @@ class TestTrainerOnMesh:
 
 
 @requires_8
+class TestMeshResume:
+    """Preemption-safe resume with sharded state: save under mesh+FSDP,
+    restore into a fresh Trainer, and keep training/predicting — the
+    restore path must re-apply the FSDP shardings (``trainer.py``
+    ``load_train_state`` → ``_replicate``)."""
+
+    def test_fsdp_fit_resume_predict(self, tmp_path):
+        model = _model()
+        mesh = make_mesh(n_data=8)
+        batches = [_batch(B=16, seed=s) for s in range(3)]
+
+        class _Loader:
+            def __iter__(self):
+                return iter(batches)
+
+            def __len__(self):
+                return len(batches)
+
+        t1 = Trainer(
+            model,
+            learning_rate=1e-4,
+            mesh=mesh,
+            param_sharding="fsdp",
+            checkpoint_dir=str(tmp_path),
+        )
+        t1.fit(_Loader(), max_epochs=2, early_stopping_patience=10)
+        assert os.path.exists(os.path.join(str(tmp_path), "last"))
+
+        t2 = Trainer(
+            model,
+            learning_rate=1e-4,
+            mesh=mesh,
+            param_sharding="fsdp",
+            checkpoint_dir=str(tmp_path),
+        )
+        hist = t2.fit(
+            _Loader(),
+            max_epochs=4,
+            early_stopping_patience=10,
+            resume=True,
+        )
+        # only the post-resume epochs ran
+        assert len(hist["train_loss"]) == 2
+        assert all(np.isfinite(v) for v in hist["train_loss"])
+
+        # restored params are FSDP-sharded (not replicated)
+        shardings = {
+            str(leaf.sharding.spec)
+            for leaf in jax.tree_util.tree_leaves(t2.state.params)
+            if hasattr(leaf, "sharding") and leaf.ndim >= 1
+        }
+        assert any("data" in s for s in shardings), shardings
+
+        # restored state matches the uninterrupted trainer's
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t1.state.params),
+            jax.tree_util.tree_leaves(t2.state.params),
+        ):
+            assert np.isfinite(np.asarray(b)).all()
+
+        preds = t2.predict(_Loader())
+        assert all(np.isfinite(p).all() for p in preds)
+        assert preds[0].shape[0] == 3 * 16
+
+    def test_ema_averaging_under_mesh(self):
+        """EMA weight averaging composes with sharded (FSDP) params."""
+        model = _model()
+        mesh = make_mesh(n_data=8)
+        batches = [_batch(B=16, seed=s) for s in range(2)]
+
+        class _Loader:
+            def __iter__(self):
+                return iter(batches)
+
+            def __len__(self):
+                return len(batches)
+
+        t = Trainer(
+            model,
+            learning_rate=1e-4,
+            mesh=mesh,
+            param_sharding="fsdp",
+            averaging="ema",
+        )
+        hist = t.fit(_Loader(), max_epochs=1, early_stopping_patience=10)
+        assert np.isfinite(hist["train_loss"][0])
+        for leaf in jax.tree_util.tree_leaves(t.state.params):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+
+@requires_8
 def test_ragged_pads_to_nominal_compiled_shape():
     """After a full-size batch, ragged leftovers pad to that nominal size
     (reusing the compiled executable) rather than the next mesh multiple

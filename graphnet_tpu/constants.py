@@ -20,3 +20,7 @@ EXAMPLE_SQLITE_DATA = os.path.join(
 EXAMPLE_PARQUET_DATA = os.path.join(
     EXAMPLE_DATA_DIR, "parquet", "prometheus", "merged"
 )
+TEST_DATA_DIR = EXAMPLE_DATA_DIR
+CONFIG_DIR = os.path.join(GRAPHNET_ROOT_DIR, "configs")
+# translated reference zoo configs (QUESO, Kaggle IceMix, ...)
+PRETRAINED_MODEL_DIR = os.path.join(CONFIG_DIR, "models", "zoo")

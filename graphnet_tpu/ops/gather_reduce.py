@@ -12,12 +12,18 @@ well.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 _NEG = jnp.float32(-1e30)
+# max L for homophily's one-hot-matmul gather (see cost model in
+# ``homophily``); override for A/B measurements
+_HOMOPHILY_MATMUL_MAX_L = int(
+    os.environ.get("GRAPHNET_HOMOPHILY_MATMUL_MAX_L", "512")
+)
 _POS = jnp.float32(1e30)
 
 
@@ -148,9 +154,12 @@ def homophily(
     # HBM traffic, B·L·k·L·4 B at ~820 GB/s — so the matmul wins for
     # L ≲ 1600 *independent of B*, and the profiled DynEdge win (67 MB
     # one-hot → ~50 us) sits comfortably inside.  Cap the transient at
-    # 512 MB so Gen2-scale shapes (L≥1024) take the gather instead of
-    # blowing HBM working set.
-    if L <= 512 and B * L * k * L * 4 <= 512 * 1024 * 1024:
+    # 512 MB so huge-batch long-event shapes take the gather instead of
+    # blowing HBM working set.  L threshold env-tunable for A/B.
+    if (
+        L <= _HOMOPHILY_MATMUL_MAX_L
+        and B * L * k * L * 4 <= 512 * 1024 * 1024
+    ):
         onehot = (
             idx.reshape(B, L * k)[..., None]
             == jnp.arange(L, dtype=idx.dtype)[None, None, :]

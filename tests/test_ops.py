@@ -191,3 +191,23 @@ class TestHomophily:
         h = np.asarray(homophily(idx, edge_mask, values))
         # edges 0->1 (same), 1->0 (same), 2->1 (diff) -> 2/3
         np.testing.assert_allclose(h, [2.0 / 3.0], rtol=1e-6)
+
+    def test_matmul_and_gather_branches_agree(self, monkeypatch):
+        """homophily has two neighbour-gather implementations picked by a
+        cost-model gate (one-hot matmul vs take_along_axis); they must be
+        numerically identical on any shape."""
+        import graphnet_tpu.ops.gather_reduce as gr
+
+        rng = np.random.default_rng(7)
+        B, L, k, C = 3, 16, 4, 2
+        idx = jnp.asarray(rng.integers(0, L, (B, L, k)), jnp.int32)
+        edge_mask = jnp.asarray(rng.random((B, L, k)) > 0.3)
+        values = jnp.asarray(
+            rng.integers(0, 3, (B, L, C)).astype(np.float32)
+        )
+
+        monkeypatch.setattr(gr, "_HOMOPHILY_MATMUL_MAX_L", 512)
+        h_matmul = np.asarray(gr.homophily(idx, edge_mask, values))
+        monkeypatch.setattr(gr, "_HOMOPHILY_MATMUL_MAX_L", 0)
+        h_gather = np.asarray(gr.homophily(idx, edge_mask, values))
+        np.testing.assert_allclose(h_matmul, h_gather, rtol=0, atol=0)

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from graphnet_tpu.batch import make_batch
 from graphnet_tpu.models.gnn.convnet import ConvNet
@@ -112,3 +113,51 @@ class TestParticleNeT:
         params = model.init(jax.random.PRNGKey(1), batch)
         out = model.apply(params, batch)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_first_layer_linearisation_exact(self):
+        """ParticleNeTConv's first Dense is linearised (self_dense +
+        nbr_dense instead of a Dense over cat[x_i, x_j - x_i]); verify
+        it equals the naive cat-form with W1 = W_self + W_nbr,
+        W2 = W_nbr computed in numpy."""
+        from graphnet_tpu.models.gnn.particlenet import ParticleNeTConv
+        from graphnet_tpu.ops import knn_graph
+
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((2, 16, 5)).astype(np.float32)
+        mask = np.ones((2, 16), bool)
+        mask[1, 10:] = False
+        idx, edge_mask = knn_graph(
+            jnp.asarray(x[..., :3]), jnp.asarray(mask), k=4
+        )
+        conv = ParticleNeTConv(
+            nn_sizes=(8,), aggr="mean", add_batchnorm=False
+        )
+        params = conv.init(
+            jax.random.PRNGKey(2), jnp.asarray(x), idx, edge_mask
+        )
+        got = np.asarray(
+            conv.apply(params, jnp.asarray(x), idx, edge_mask)
+        )
+
+        p = params["params"]
+        w_self = np.asarray(p["self_dense"]["kernel"])
+        bias = np.asarray(p["self_dense"]["bias"])
+        w_nbr = np.asarray(p["nbr_dense"]["kernel"])
+        w1, w2 = w_self + w_nbr, w_nbr  # cat-form weights
+        idx_np, em_np = np.asarray(idx), np.asarray(edge_mask)
+        B, L, k = idx_np.shape
+        want = np.zeros_like(got)
+        for b in range(B):
+            for i in range(L):
+                msgs = []
+                for e in range(k):
+                    if not em_np[b, i, e]:
+                        continue
+                    xj = x[b, idx_np[b, i, e]]
+                    m = (
+                        x[b, i] @ w1 + (xj - x[b, i]) @ w2 + bias
+                    )
+                    msgs.append(np.maximum(m, 0.0))  # relu
+                if msgs:
+                    want[b, i] = np.mean(msgs, axis=0)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -19,10 +19,12 @@ import jax
 import jax.numpy as jnp
 
 _NEG = jnp.float32(-1e30)
-# max L for homophily's one-hot-matmul gather (see cost model in
-# ``homophily``); override for A/B measurements
+# max L for homophily's one-hot-matmul gather — the cost-model
+# break-even (see ``homophily``); the 512 MB transient cap below guards
+# big-batch long-event shapes independently.  The measured TITO L=1024
+# number (727 ev/s, BENCH r2) ran on the matmul path.  Override for A/B.
 _HOMOPHILY_MATMUL_MAX_L = int(
-    os.environ.get("GRAPHNET_HOMOPHILY_MATMUL_MAX_L", "512")
+    os.environ.get("GRAPHNET_HOMOPHILY_MATMUL_MAX_L", "1600")
 )
 _POS = jnp.float32(1e30)
 

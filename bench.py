@@ -314,6 +314,95 @@ def bench_tito_l1024(compute_dtype="bfloat16") -> dict:
     }
 
 
+def bench_deepice(
+    B_d: int = 4, L_d: int = 768, model_kwargs: dict = None
+) -> dict:
+    """Third shape: DeepIce/IceMix (Kaggle-2nd-place transformer) at the
+    IceMixNodes pulse budget (max_pulses=768, reference
+    ``graphs/nodes/nodes.py:309``) — rel-bias blocks + 12 plain blocks,
+    flash attention engaged for the bias-free blocks at this L."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from graphnet_tpu.batch import make_batch
+    from graphnet_tpu.models.gnn.icemix import DeepIce
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import (
+        DirectionReconstructionWithKappa,
+    )
+    from graphnet_tpu.training.loss_functions import VonMisesFisher3DLoss
+
+    rng = np.random.default_rng(0)
+    # IceMix node features: xyz, time, charge, aux (n_features=6)
+    events = [
+        np.concatenate(
+            [
+                rng.standard_normal((L_d, 3)).astype(np.float32),
+                rng.random((L_d, 1)).astype(np.float32),
+                rng.random((L_d, 1)).astype(np.float32),
+                (rng.random((L_d, 1)) > 0.5).astype(np.float32),
+            ],
+            axis=1,
+        )
+        for _ in range(B_d)
+    ]
+    direction = rng.standard_normal((B_d, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=1, keepdims=True)
+    batch = jax.device_put(
+        make_batch(events, labels={"direction": direction}, length=L_d)
+    )
+    model = StandardModel(
+        backbone=DeepIce(
+            n_features=6,
+            rel_bias_chunks=4,
+            **(model_kwargs or {}),
+        ),
+        tasks=(
+            DirectionReconstructionWithKappa(
+                loss_function=VonMisesFisher3DLoss(),
+                target_labels=("direction",),
+            ),
+        ),
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+    optimizer = optax.adam(1e-3, eps=1e-3)
+    opt_state = optimizer.init(params)
+    n_inner = max(4, N_STEPS // 4)
+
+    @jax.jit
+    def steps(params, opt_state, batch):
+        def one(carry, _):
+            p, o = carry
+
+            def loss_fn(p_):
+                return model.loss(model.apply(p_, batch), batch.labels)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = optimizer.update(grads, o)
+            return (optax.apply_updates(p, updates), o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), None, length=n_inner
+        )
+        return params, opt_state, losses[-1]
+
+    params, opt_state, loss = steps(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        params, opt_state, loss = steps(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / (reps * n_inner)
+    return {
+        "events_per_s": round(B_d / dt, 1),
+        "step_ms": round(dt * 1e3, 2),
+        "batch": B_d,
+        "max_len": L_d,
+    }
+
+
 def bench_e2e_loader(
     n_epochs: int = 4,
     n_events_db: int = 2000,
@@ -706,6 +795,11 @@ def main() -> None:
         if os.environ.get("BENCH_E2E", "1") != "0"
         else None
     )
+    deepice = (
+        _section(bench_deepice)
+        if os.environ.get("BENCH_DEEPICE", "1") != "0"
+        else None
+    )
     print(
         json.dumps(
             {
@@ -734,6 +828,7 @@ def main() -> None:
                     "baseline_events_per_s": round(baseline, 1),
                     "roofline": _section(roofline_detail, res),
                     "tito_l1024": tito,
+                    "deepice_l768": deepice,
                     "e2e_loader": e2e,
                     "inference": _section(bench_inference),
                     "a100_pyg_estimate": _section(

@@ -41,3 +41,19 @@ def test_bench_inference_section(tiny):
     out = bench.bench_inference(compute_dtype=None)
     assert out["events_per_s"] > 0
     assert out["latency_ms_per_batch"] > 0
+
+
+def test_bench_deepice_section(tiny):
+    out = bench.bench_deepice(
+        B_d=2,
+        L_d=32,
+        model_kwargs=dict(
+            hidden_dim=32,
+            seq_length=32,
+            depth=1,
+            depth_rel=1,
+            head_size=8,
+        ),
+    )
+    assert out["events_per_s"] > 0
+    assert out["step_ms"] > 0

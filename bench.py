@@ -77,12 +77,13 @@ def _xla_step_cost(jitted, *args):
         return float("nan"), float("nan"), None
 
 
-def _synthetic_batch(seed=0):
+def _synthetic_batch(seed=0, batch_size=None):
     from graphnet_tpu.batch import make_batch
 
+    bs = batch_size if batch_size is not None else B
     rng = np.random.default_rng(seed)
     events = []
-    for _ in range(B):
+    for _ in range(bs):
         n = int(rng.integers(L // 2, L + 1))
         events.append(
             np.concatenate(
@@ -95,7 +96,7 @@ def _synthetic_batch(seed=0):
         )
     labels = {
         "total_energy": np.abs(
-            rng.standard_normal(B).astype(np.float32) * 100 + 200
+            rng.standard_normal(bs).astype(np.float32) * 100 + 200
         )
     }
     return make_batch(events, labels=labels, length=L)
@@ -627,9 +628,22 @@ def bench_inference(compute_dtype="bfloat16") -> dict:
         out = forward(params, batch)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
+
+    # single-event serving latency (B=1, same compiled shape class)
+    one = jax.device_put(_synthetic_batch(batch_size=1))
+    out1 = forward(params, one)
+    jax.block_until_ready(out1)
+    lats = []
+    for _ in range(100):
+        t1 = time.perf_counter()
+        jax.block_until_ready(forward(params, one))
+        lats.append((time.perf_counter() - t1) * 1e3)
+    lats.sort()
     return {
         "events_per_s": round(B / dt, 1),
         "latency_ms_per_batch": round(dt * 1e3, 2),
+        "single_event_latency_ms_p50": round(lats[50], 2),
+        "single_event_latency_ms_p99": round(lats[99], 2),
         "batch": B,
         "max_len": L,
         "note": "forward-only incl. dispatch (serving path)",

@@ -73,5 +73,34 @@ class DeploymentModule(Logger):
             self._compile()
         batch = collate_events(events, min_pulses=1)
         assert batch is not None, "all events empty"
+        n_real = batch.batch_size
+        batch = self._pad_batch_size(batch)
         outs = self._predict_fn(self.params, batch)
-        return np.concatenate([np.asarray(o) for o in outs], axis=1)
+        return np.concatenate(
+            [np.asarray(o)[:n_real] for o in outs], axis=1
+        )
+
+    @staticmethod
+    def _pad_batch_size(batch):
+        """Pad the batch axis up to the next power of two (zero events,
+        all-masked) so a serving process compiles at most
+        ``log2(max_B) x len(L buckets)`` executables instead of one per
+        distinct request size.  Padded events are trimmed from the
+        output; model outputs are per-event, so real rows are unaffected
+        (the padding-invariance property tested in
+        ``tests/test_dynedge.py``)."""
+        B = batch.batch_size
+        bb = 1
+        while bb < B:
+            bb *= 2
+        if bb == B:
+            return batch
+        import jax
+
+        def pad(a):
+            if not hasattr(a, "shape") or a.ndim == 0 or a.shape[0] != B:
+                return a
+            widths = [(0, bb - B)] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(np.asarray(a), widths)
+
+        return jax.tree_util.tree_map(pad, batch)

@@ -67,3 +67,17 @@ def test_deployment_module_roundtrip(tmp_path):
     # deployment predictions match trainer.predict on the same events
     single = module(events[0])
     np.testing.assert_allclose(single[0], preds[0], rtol=1e-4)
+
+    # batch-size bucketing: a non-power-of-two request pads to the next
+    # bucket (one executable per bucket, not per request size) and the
+    # padded rows are trimmed; real-event predictions are unaffected
+    three = module(events[:3])
+    assert three.shape == (3, 1)
+    np.testing.assert_allclose(three, preds[:3], rtol=1e-4)
+    padded = DeploymentModule._pad_batch_size(
+        __import__(
+            "graphnet_tpu.data.dataloader", fromlist=["collate_events"]
+        ).collate_events(events[:3], min_pulses=1)
+    )
+    assert padded.batch_size == 4
+    assert not np.asarray(padded.mask)[3].any()

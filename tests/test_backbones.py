@@ -94,6 +94,54 @@ class TestConvNet:
         assert (A >= 0).all()
 
 
+class TestTAGConvSemantics:
+    def test_tagconv_matches_numpy_reference(self):
+        """TAGConv = sum_h W_h (D^-1/2 A D^-1/2)^h x with PyG's gcn_norm
+        convention (in-degree, no self loops) — verified against an
+        explicit numpy edge-list implementation."""
+        from graphnet_tpu.models.gnn.convnet import (
+            TAGConv,
+            tag_normalised_adjacency,
+        )
+        from graphnet_tpu.ops import knn_graph
+
+        rng = np.random.default_rng(3)
+        B, L, D, k, F = 2, 12, 4, 3, 6
+        x = rng.standard_normal((B, L, D)).astype(np.float32)
+        mask = np.ones((B, L), bool)
+        mask[1, 9:] = False
+        idx, edge_mask = knn_graph(
+            jnp.asarray(x[..., :3]), jnp.asarray(mask), k=k
+        )
+        A = tag_normalised_adjacency(idx, edge_mask, L)
+        conv = TAGConv(features=F, K=2)
+        params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x), A)
+        got = np.asarray(conv.apply(params, jnp.asarray(x), A))
+
+        # numpy reference from the edge list
+        idx_np, em_np = np.asarray(idx), np.asarray(edge_mask)
+        p = params["params"]
+        for b in range(B):
+            # directed edges j -> i
+            An = np.zeros((L, L), np.float64)
+            for i in range(L):
+                for e in range(k):
+                    if em_np[b, i, e]:
+                        An[i, idx_np[b, i, e]] = 1.0
+            deg = An.sum(axis=1)  # in-degree
+            dis = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+            Anorm = An * dis[:, None] * dis[None, :]
+            h = x[b].astype(np.float64)
+            want = h @ p["lin_0"]["kernel"] + p["lin_0"]["bias"]
+            hh = h
+            for hop in (1, 2):
+                hh = Anorm @ hh
+                want = want + hh @ p[f"lin_{hop}"]["kernel"]
+            np.testing.assert_allclose(
+                got[b], want, rtol=1e-4, atol=1e-4
+            )
+
+
 class TestParticleNeT:
     def test_forward_and_padding_invariance(self):
         evs = events()

@@ -175,6 +175,46 @@ class TestNodeRNN:
             np.sort(got), np.sort(np.arcsinh(sums)), rtol=1e-5
         )
 
+    def test_reset_scan_equals_per_segment_gru(self):
+        """The segment-reset scan (one lax.scan over the padded pulse
+        axis) must equal running the same GRU independently on each
+        segment — the property that makes it a drop-in for the
+        reference's packed per-DOM cuDNN GRU."""
+        from graphnet_tpu.models.rnn.node_rnn import _ResettingGRULayer
+
+        rng = np.random.default_rng(5)
+        B, L, D, H = 2, 20, 3, 8
+        xs = rng.standard_normal((B, L, D)).astype(np.float32)
+        reset = np.zeros((B, L), np.float32)
+        # segments: [0:7), [7:15), [15:20) and [0:4), [4:20)
+        reset[0, [0, 7, 15]] = 1.0
+        reset[1, [0, 4]] = 1.0
+
+        layer = _ResettingGRULayer(hidden_size=H)
+        params = layer.init(
+            jax.random.PRNGKey(0), jnp.asarray(xs), jnp.asarray(reset)
+        )
+        ys = np.asarray(
+            layer.apply(params, jnp.asarray(xs), jnp.asarray(reset))
+        )
+
+        for b in range(B):
+            starts = list(np.nonzero(reset[b])[0]) + [L]
+            for s, e in zip(starts[:-1], starts[1:]):
+                seg = xs[b : b + 1, s:e]
+                seg_reset = np.zeros((1, e - s), np.float32)
+                seg_reset[0, 0] = 1.0
+                y_seg = np.asarray(
+                    layer.apply(
+                        params,
+                        jnp.asarray(seg),
+                        jnp.asarray(seg_reset),
+                    )
+                )
+                np.testing.assert_allclose(
+                    ys[b, s:e], y_seg[0], rtol=1e-5, atol=1e-6
+                )
+
     def test_rnn_tito_forward(self):
         evs = dom_series_events()
         batch = make_batch(evs, length=32)

@@ -215,6 +215,29 @@ class TestNodeRNN:
                     ys[b, s:e], y_seg[0], rtol=1e-5, atol=1e-6
                 )
 
+    def test_t5_buckets_match_huggingface(self):
+        """ISeeCube's native relative-position bucketing must equal the
+        canonical T5 implementation (the reference delegates to
+        torchscale, which follows the same T5 scheme)."""
+        torch = pytest.importorskip("torch")
+        hf = pytest.importorskip("transformers.models.t5.modeling_t5")
+
+        from graphnet_tpu.models.transformer.iseecube import (
+            t5_relative_buckets,
+        )
+
+        rel = np.arange(-300, 301).reshape(1, -1)
+        ours = np.asarray(
+            t5_relative_buckets(jnp.asarray(rel), 32, 256)
+        )
+        want = hf.T5Attention._relative_position_bucket(
+            torch.as_tensor(rel),
+            bidirectional=True,
+            num_buckets=32,
+            max_distance=256,
+        ).numpy()
+        np.testing.assert_array_equal(ours, want)
+
     def test_rnn_tito_forward(self):
         evs = dom_series_events()
         batch = make_batch(evs, length=32)

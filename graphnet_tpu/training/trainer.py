@@ -99,10 +99,9 @@ class Trainer(Logger):
         super().__init__()
         assert averaging in (None, "swa", "ema")
         assert steps_per_dispatch >= 1
-        assert steps_per_dispatch == 1 or averaging is None, (
-            "steps_per_dispatch>1 updates SWA/EMA averages only every k "
-            "steps, changing their semantics — use one or the other"
-        )
+        # steps_per_dispatch>1 composes with SWA/EMA exactly: the scan
+        # threads the averaged weights through its carry (one update per
+        # optimiser step, same numerics as single dispatch)
         self.steps_per_dispatch = steps_per_dispatch
         assert param_sharding in ("replicated", "fsdp", "tp", "fsdp+tp")
         self.param_sharding = param_sharding
@@ -376,8 +375,56 @@ class Trainer(Logger):
             )
             return params, opt_state, losses
 
+        averaging, ema_decay = self.averaging, self.ema_decay
+        donate_avg = (0, 1, 2) if jax.default_backend() == "tpu" else ()
+
+        @functools.partial(jax.jit, donate_argnums=donate_avg)
+        def train_scan_avg(params, opt_state, avg, count0, batches, rngs):
+            """train_scan + exact per-step SWA/EMA updates inside the
+            scan (identical numerics to k sequential
+            :meth:`_single_train_step` + :meth:`_update_averages`
+            calls)."""
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *batches
+            )
+            rng_arr = jnp.stack(rngs)
+
+            def one(carry, xs):
+                p, o, a, c = carry
+                b, r = xs
+                loss, grads = jax.value_and_grad(loss_fn)(p, b, r)
+                updates, o = optimizer.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
+                first = c == 0
+                c = c + 1.0
+                if averaging == "swa":
+                    a = jax.tree_util.tree_map(
+                        lambda ai, pi: jnp.where(
+                            first, pi, ai + (pi - ai) / c
+                        ),
+                        a,
+                        p,
+                    )
+                else:  # ema
+                    a = jax.tree_util.tree_map(
+                        lambda ai, pi: jnp.where(
+                            first,
+                            pi,
+                            ema_decay * ai + (1.0 - ema_decay) * pi,
+                        ),
+                        a,
+                        p,
+                    )
+                return (p, o, a, c), loss
+
+            (params, opt_state, avg, _), losses = jax.lax.scan(
+                one, (params, opt_state, avg, count0), (stacked, rng_arr)
+            )
+            return params, opt_state, avg, losses
+
         self._train_step_fn = train_step
         self._train_scan_fn = train_scan
+        self._train_scan_avg_fn = train_scan_avg
         self._eval_step_fn = eval_step
         self._predict_fn = predict_step
 
@@ -406,9 +453,37 @@ class Trainer(Logger):
             jax.random.fold_in(self._dropout_rng, self.state.step + j)
             for j in range(k)
         )
-        params, opt_state, losses_k = self._train_scan_fn(
-            self.state.params, self.state.opt_state, tuple(group), rngs
-        )
+        if self.averaging is not None:
+            # exact per-step weight averaging rides the scan carry
+            seeded = self._avg_params is not None
+            # zeros (not params) when unseeded: the scan's `first` branch
+            # overwrites them, and donating params as BOTH arg 0 and the
+            # avg arg would alias two donated buffers
+            avg0 = (
+                self._avg_params
+                if seeded
+                else jax.tree_util.tree_map(
+                    jnp.zeros_like, self.state.params
+                )
+            )
+            count0 = jnp.float32(self._avg_count if seeded else 0)
+            params, opt_state, avg, losses_k = self._train_scan_avg_fn(
+                self.state.params,
+                self.state.opt_state,
+                avg0,
+                count0,
+                tuple(group),
+                rngs,
+            )
+            self._avg_params = avg
+            self._avg_count = (self._avg_count if seeded else 0) + k
+        else:
+            params, opt_state, losses_k = self._train_scan_fn(
+                self.state.params,
+                self.state.opt_state,
+                tuple(group),
+                rngs,
+            )
         self.state = TrainState(
             params=params,
             opt_state=opt_state,

@@ -144,6 +144,58 @@ class TestTrainer:
                 np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7
             )
 
+    @pytest.mark.parametrize("mode", ["swa", "ema"])
+    def test_averaging_with_steps_per_dispatch(self, mode):
+        """SWA/EMA under multi-step dispatch == per-step averaging with
+        single dispatch (the scan threads the average through its
+        carry; regression: scanned steps used to skip averaging)."""
+        import jax
+
+        from graphnet_tpu.batch import make_batch
+
+        def batches():
+            out = []
+            for s in range(4):  # 2 scan dispatches at spd=2
+                r = np.random.default_rng(s)
+                events = [
+                    r.standard_normal((int(r.integers(5, 31)), 4)).astype(
+                        np.float32
+                    )
+                    for _ in range(8)
+                ]
+                labels = {
+                    "total_energy": np.abs(
+                        r.standard_normal(8).astype(np.float32) * 50
+                        + 100
+                    )
+                }
+                out.append(make_batch(events, labels=labels, length=32))
+            return out
+
+        def run(spd):
+            _, model = build()
+            trainer = Trainer(
+                model,
+                learning_rate=1e-3,
+                steps_per_dispatch=spd,
+                averaging=mode,
+            )
+            trainer.fit(
+                batches(), max_epochs=1, use_default_schedule=False
+            )
+            # fit() swapped the averaged weights in
+            return trainer.state.params
+
+        p1 = run(1)
+        p2 = run(2)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p1),
+            jax.tree_util.tree_leaves(p2),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7
+            )
+
     def test_state_dict_roundtrip(self, tmp_path):
         ds, model = build(selection=None)
         loader = DataLoader(ds, batch_size=8, shuffle=False)

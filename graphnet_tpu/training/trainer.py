@@ -871,6 +871,18 @@ class Trainer(Logger):
                 "epoch": np.asarray(epoch),
             },
         }
+        if self.averaging is not None:
+            # SWA/EMA running average must survive preemption too
+            # (count 0 = not yet seeded; restore leaves it unseeded)
+            seeded = self._avg_params is not None
+            payload["avg"] = {
+                "params": jax.device_get(
+                    self._avg_params if seeded else self.state.params
+                ),
+                "count": np.asarray(
+                    float(self._avg_count) if seeded else 0.0
+                ),
+            }
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 
@@ -898,6 +910,15 @@ class Trainer(Logger):
                 "epoch": np.asarray(0),
             },
         }
+        # averaging state is present iff the saving run had averaging on
+        # (structure mismatch from a changed averaging setting surfaces
+        # as the RuntimeError below, like any other config change)
+        has_avg = self.averaging is not None
+        if has_avg:
+            target["avg"] = {
+                "params": jax.device_get(params_t),
+                "count": np.asarray(0.0),
+            }
         ckptr = ocp.StandardCheckpointer()
         try:
             restored = ckptr.restore(path, target=target)
@@ -913,6 +934,11 @@ class Trainer(Logger):
             opt_state=self._replicate(restored["opt_state"]),
             step=int(restored["meta"]["step"]),
         )
+        if has_avg and float(restored["avg"]["count"]) > 0:
+            self._avg_params = self._replicate(
+                restored["avg"]["params"]
+            )
+            self._avg_count = int(restored["avg"]["count"])
         return int(restored["meta"]["epoch"])
 
     def save_state_dict(self, path: str) -> None:

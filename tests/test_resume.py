@@ -83,3 +83,45 @@ def test_resume_continues_from_epoch(tmp_path):
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(leaves2, leaves3)
     )
+
+
+def test_resume_preserves_swa_average(tmp_path):
+    """The SWA/EMA running average is part of the training state: an
+    interrupted-and-resumed SWA run must end with the same averaged
+    weights as an uninterrupted one (regression: averages used to
+    restart from scratch after resume)."""
+    import jax
+
+    ds, model = build()
+    loader = DataLoader(ds, batch_size=16, shuffle=True, seed=5)
+
+    # uninterrupted: 4 epochs of SWA
+    t_full = Trainer(model, learning_rate=1e-4, averaging="swa")
+    t_full.fit(loader, max_epochs=4, use_default_schedule=False)
+
+    # interrupted: 2 epochs, then resume into a fresh trainer for 4
+    t_a = Trainer(
+        model,
+        learning_rate=1e-4,
+        averaging="swa",
+        checkpoint_dir=str(tmp_path),
+    )
+    t_a.fit(loader, max_epochs=2, use_default_schedule=False)
+    t_b = Trainer(
+        model,
+        learning_rate=1e-4,
+        averaging="swa",
+        checkpoint_dir=str(tmp_path),
+    )
+    t_b.fit(
+        loader, max_epochs=4, use_default_schedule=False, resume=True
+    )
+
+    assert t_b._avg_count == t_full._avg_count
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_full.state.params),
+        jax.tree_util.tree_leaves(t_b.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7
+        )

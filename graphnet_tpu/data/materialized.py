@@ -1,0 +1,264 @@
+"""Disk-materialised batch store: pack padded batches once, replay forever.
+
+SURVEY.md §7 ("hard parts") flags SQLite random-access throughput feeding
+a pod and suggests pre-materialising padded buckets to disk.  This module
+is that production input path:
+
+* :func:`materialize` — run the full host pipeline (SQL queries, graph
+  building, padding/collation) ONE time, streaming every
+  :class:`~graphnet_tpu.batch.EventBatch` to a directory of contiguous
+  binary files grouped by batch shape.  An offline ETL step, like
+  :class:`~graphnet_tpu.data.dataconverter.DataConverter` — run it in its
+  own process (pulling device batches back to host is a D2H readback,
+  which on tunneled runtimes degrades subsequent ``device_put``
+  throughput for that process; see ``docs/architecture.md`` §2).
+* :class:`MaterializedLoader` — replay the packed batches from
+  ``np.memmap`` views (zero-copy reads straight from the page cache) with
+  fresh batch-order shuffling per epoch.  Every epoch of every later run
+  costs one sequential read + ``device_put`` per batch — no SQL, no graph
+  build, no padding.
+
+Compared to :class:`~graphnet_tpu.data.prefetch.CachingLoader` (which
+materialises into HBM or host RAM within one process), the disk store is
+bounded by disk, persists across processes/preemptions, and can be packed
+once per dataset and shared by every training run.  Graph building is
+deterministic per event, so the replay is exact, not an approximation —
+only the batch order differs between epochs.
+
+The reference has no equivalent: its torch ``DataLoader`` re-runs the
+Python pipeline (SQL + per-event graph build) every epoch
+(``/root/reference/src/graphnet/data/dataloader.py:26-51``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from graphnet_tpu.batch import EventBatch
+
+_VERSION = 1
+_META = "meta.json"
+
+_OPTIONAL_FIELDS = (
+    "edges",
+    "edge_mask",
+    "event_weight",
+    "packed_f",
+    "packed_i",
+    "packed_nl",
+)
+
+
+def _tuplify(x):
+    """JSON round-trips tuples as lists; restore nested tuples (the
+    ``label_spec`` static field must be hashable for jit caching)."""
+    if isinstance(x, list):
+        return tuple(_tuplify(i) for i in x)
+    return x
+
+
+def _batch_leaves(batch: EventBatch) -> Dict[str, np.ndarray]:
+    """Flatten an EventBatch into named host arrays (stable order)."""
+    leaves = {
+        "x": batch.x,
+        "mask": batch.mask,
+        "n_pulses": batch.n_pulses,
+    }
+    for k in sorted(batch.labels):
+        leaves[f"labels/{k}"] = batch.labels[k]
+    for k in sorted(batch.node_labels):
+        leaves[f"node_labels/{k}"] = batch.node_labels[k]
+    for name in _OPTIONAL_FIELDS:
+        v = getattr(batch, name)
+        if v is not None:
+            leaves[name] = v
+    return {k: np.ascontiguousarray(v) for k, v in leaves.items()}
+
+
+def _group_key(leaves: Dict[str, np.ndarray], label_spec) -> str:
+    sig = [
+        (name, str(a.dtype), list(a.shape)) for name, a in leaves.items()
+    ]
+    return json.dumps({"leaves": sig, "label_spec": label_spec})
+
+
+class _GroupWriter:
+    def __init__(self, root: str, gi: int, leaves: Dict[str, np.ndarray],
+                 label_spec):
+        self.dir = os.path.join(root, f"g{gi:03d}")
+        os.makedirs(self.dir, exist_ok=True)
+        self.n = 0
+        self.names: List[str] = list(leaves)
+        self.meta = {
+            "dir": os.path.basename(self.dir),
+            "label_spec": label_spec,
+            "leaves": [
+                {
+                    "name": name,
+                    "file": f"leaf_{i:03d}.bin",
+                    "dtype": str(a.dtype),
+                    "shape": list(a.shape),
+                }
+                for i, (name, a) in enumerate(leaves.items())
+            ],
+        }
+        self._fh = [
+            open(os.path.join(self.dir, m["file"]), "wb")
+            for m in self.meta["leaves"]
+        ]
+
+    def append(self, leaves: Dict[str, np.ndarray]) -> None:
+        for fh, m in zip(self._fh, self.meta["leaves"]):
+            fh.write(leaves[m["name"]].tobytes())
+        self.n += 1
+
+    def close(self) -> dict:
+        for fh in self._fh:
+            fh.close()
+        self.meta["n"] = self.n
+        return self.meta
+
+
+def materialize(loader, path: str, overwrite: bool = False) -> dict:
+    """Pack every batch of ``loader`` into a replayable store at ``path``.
+
+    Offline ETL step — run it once per dataset (in its own process on
+    tunneled runtimes; see module docstring).  Returns the written
+    metadata (also stored as ``meta.json``).
+    """
+    meta_path = os.path.join(path, _META)
+    if os.path.exists(meta_path) and not overwrite:
+        raise FileExistsError(
+            f"{meta_path} exists; pass overwrite=True to repack"
+        )
+    os.makedirs(path, exist_ok=True)
+    writers: Dict[str, _GroupWriter] = {}
+    n_batches = 0
+    for batch in loader:
+        host = jax.tree_util.tree_map(np.asarray, batch)
+        leaves = _batch_leaves(host)
+        key = _group_key(leaves, host.label_spec)
+        w = writers.get(key)
+        if w is None:
+            w = writers[key] = _GroupWriter(
+                path, len(writers), leaves, host.label_spec
+            )
+        w.append(leaves)
+        n_batches += 1
+    if n_batches == 0:
+        raise ValueError("loader yielded no batches; nothing to pack")
+    meta = {
+        "version": _VERSION,
+        "n_batches": n_batches,
+        "groups": [w.close() for w in writers.values()],
+    }
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, meta_path)  # meta.json appearing = pack complete
+    return meta
+
+
+class _Group:
+    def __init__(self, root: str, meta: dict):
+        self.n = meta["n"]
+        self.label_spec = _tuplify(meta["label_spec"])
+        self.maps: Dict[str, np.memmap] = {}
+        for m in meta["leaves"]:
+            shape = (self.n, *m["shape"])
+            self.maps[m["name"]] = np.memmap(
+                os.path.join(root, meta["dir"], m["file"]),
+                dtype=np.dtype(m["dtype"]),
+                mode="r",
+                shape=shape,
+            )
+
+    def batch(self, i: int) -> EventBatch:
+        leaves = {name: mm[i] for name, mm in self.maps.items()}
+        labels = {
+            k.split("/", 1)[1]: v
+            for k, v in leaves.items()
+            if k.startswith("labels/")
+        }
+        node_labels = {
+            k.split("/", 1)[1]: v
+            for k, v in leaves.items()
+            if k.startswith("node_labels/")
+        }
+        return EventBatch(
+            x=leaves["x"],
+            mask=leaves["mask"],
+            n_pulses=leaves["n_pulses"],
+            labels=labels,
+            node_labels=node_labels,
+            label_spec=self.label_spec,
+            **{f: leaves.get(f) for f in _OPTIONAL_FIELDS},
+        )
+
+
+class MaterializedLoader:
+    """Replay a :func:`materialize`d batch store.
+
+    Batches stream from ``np.memmap`` views (the OS page cache serves
+    repeat epochs from RAM) through one ``device_put`` each; order is
+    re-shuffled per epoch.  Drop-in anywhere a DataLoader fits
+    (``Trainer.fit``, :class:`~graphnet_tpu.data.prefetch.PrefetchingLoader`).
+
+    Args:
+        path: directory written by :func:`materialize`.
+        shuffle: re-randomise batch order each epoch.
+        seed: shuffle seed (epoch index is folded in).
+        device: target device or sharding for ``jax.device_put``
+            (None = default device).
+    """
+
+    def __init__(self, path: str, shuffle: bool = True, seed: int = 0,
+                 device=None):
+        with open(os.path.join(path, _META)) as f:
+            meta = json.load(f)
+        if meta.get("version") != _VERSION:
+            raise ValueError(
+                f"unsupported store version {meta.get('version')!r}"
+            )
+        self.path = path
+        self.shuffle = shuffle
+        self.seed = seed
+        self.device = device
+        self._groups = [_Group(path, g) for g in meta["groups"]]
+        self._index: List[Tuple[int, int]] = [
+            (gi, i)
+            for gi, g in enumerate(self._groups)
+            for i in range(g.n)
+        ]
+        self._epoch = 0
+
+    @classmethod
+    def from_loader(cls, loader, path: str, **kwargs
+                    ) -> "MaterializedLoader":
+        """Open ``path``, packing it first from ``loader`` if absent."""
+        if not os.path.exists(os.path.join(path, _META)):
+            materialize(loader, path)
+        return cls(path, **kwargs)
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __iter__(self) -> Iterator[EventBatch]:
+        order = np.arange(len(self._index))
+        if self.shuffle:
+            order = np.random.default_rng(
+                self.seed + self._epoch
+            ).permutation(order)
+        self._epoch += 1
+        for j in order:
+            gi, i = self._index[j]
+            batch = self._groups[gi].batch(i)
+            if self.device is not None:
+                yield jax.device_put(batch, self.device)
+            else:
+                yield jax.device_put(batch)

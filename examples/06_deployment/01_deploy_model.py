@@ -83,6 +83,22 @@ def main() -> None:
     for p, t in zip(preds[:, 0], truth):
         print(f"predicted energy {p:10.2f}   true {t:10.2f}")
 
+    # AOT serving artifact: compile once, serve anywhere with no model
+    # code (StableHLO via jax.export; see deployment/export.py)
+    from graphnet_tpu.deployment.export import ExportedModel
+
+    export_dir = os.path.join(args.model_dir, "serving")
+    if not os.path.exists(os.path.join(export_dir, "serving.json")):
+        module.export_serving(
+            export_dir, batch_sizes=(1, 8), lengths=(128,)
+        )
+    served = ExportedModel(export_dir)
+    aot = served(events)
+    print(
+        "AOT artifact max |Δ| vs live module:",
+        float(np.max(np.abs(aot - preds))),
+    )
+
 
 if __name__ == "__main__":
     main()

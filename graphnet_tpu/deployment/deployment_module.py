@@ -80,6 +80,37 @@ class DeploymentModule(Logger):
             [np.asarray(o)[:n_real] for o in outs], axis=1
         )
 
+    def export_serving(
+        self,
+        path: str,
+        nb_inputs: Optional[int] = None,
+        batch_sizes=(1, 8, 32, 128),
+        lengths=(128,),
+        platforms=("cpu", "tpu"),
+    ) -> dict:
+        """Write an AOT serving artifact (StableHLO per (B, L) shape,
+        params baked in) that :class:`~graphnet_tpu.deployment.export.
+        ExportedModel` serves without any model code; see
+        ``deployment/export.py``."""
+        from graphnet_tpu.deployment.export import export_serving
+
+        if nb_inputs is None:
+            nb_inputs = getattr(self.model.backbone, "nb_inputs", None)
+            if nb_inputs is None:
+                raise ValueError(
+                    "backbone has no nb_inputs field; pass nb_inputs="
+                )
+        return export_serving(
+            self.model,
+            self.params,
+            path,
+            nb_inputs=nb_inputs,
+            prediction_columns=self.prediction_columns,
+            batch_sizes=batch_sizes,
+            lengths=lengths,
+            platforms=platforms,
+        )
+
     @staticmethod
     def _pad_batch_size(batch):
         """Pad the batch axis up to the next power of two (zero events,

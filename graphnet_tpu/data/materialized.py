@@ -210,15 +210,26 @@ class MaterializedLoader:
     (``Trainer.fit``, :class:`~graphnet_tpu.data.prefetch.PrefetchingLoader`).
 
     Args:
+    Multi-host: pass ``process_index``/``process_count`` (e.g.
+    ``jax.process_index()``/``jax.process_count()``) and each process
+    reads a disjoint slice of a shared epoch permutation, truncated to
+    equal per-process step counts so collectives stay in lockstep; the
+    permutation is seed+epoch-deterministic, so all hosts agree without
+    communicating.
+
+    Args:
         path: directory written by :func:`materialize`.
         shuffle: re-randomise batch order each epoch.
         seed: shuffle seed (epoch index is folded in).
         device: target device or sharding for ``jax.device_put``
             (None = default device).
+        process_index / process_count: this host's shard of the batch
+            stream (None = serve everything).
     """
 
     def __init__(self, path: str, shuffle: bool = True, seed: int = 0,
-                 device=None):
+                 device=None, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         with open(os.path.join(path, _META)) as f:
             meta = json.load(f)
         if meta.get("version") != _VERSION:
@@ -236,6 +247,23 @@ class MaterializedLoader:
             for i in range(g.n)
         ]
         self._epoch = 0
+        if (process_index is None) != (process_count is None):
+            raise ValueError(
+                "pass process_index and process_count together"
+            )
+        if process_count is not None:
+            if not 0 <= process_index < process_count:
+                raise ValueError(
+                    f"process_index {process_index} out of range for "
+                    f"process_count {process_count}"
+                )
+            if len(self._index) < process_count:
+                raise ValueError(
+                    f"{len(self._index)} batches cannot be sharded "
+                    f"across {process_count} processes"
+                )
+        self.process_index = process_index
+        self.process_count = process_count
 
     @classmethod
     def from_loader(cls, loader, path: str, **kwargs
@@ -246,6 +274,8 @@ class MaterializedLoader:
         return cls(path, **kwargs)
 
     def __len__(self) -> int:
+        if self.process_count is not None:
+            return len(self._index) // self.process_count
         return len(self._index)
 
     def __iter__(self) -> Iterator[EventBatch]:
@@ -255,6 +285,12 @@ class MaterializedLoader:
                 self.seed + self._epoch
             ).permutation(order)
         self._epoch += 1
+        if self.process_count is not None:
+            # equal-length disjoint slices of the SHARED permutation:
+            # every host runs the same number of steps per epoch
+            per = len(order) // self.process_count
+            lo = self.process_index * per
+            order = order[lo : lo + per]
         for j in order:
             gi, i = self._index[j]
             batch = self._groups[gi].batch(i)

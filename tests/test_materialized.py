@@ -153,6 +153,46 @@ class TestMaterializedStore:
         with pytest.raises(ValueError):
             materialize(_ListLoader([]), str(tmp_path / "s"))
 
+    def test_process_sharding(self, tmp_path):
+        """Hosts read disjoint equal-length slices of one shared
+        permutation; the union covers all batches each full epoch when
+        the count divides evenly."""
+        rng = np.random.default_rng(2)
+        src = [
+            make_batch(
+                [rng.standard_normal((i + 2, 3)).astype(np.float32)],
+                length=16,
+            )
+            for i in range(9)
+        ]
+        path = str(tmp_path / "store")
+        materialize(_ListLoader(src), path)
+        shards = [
+            MaterializedLoader(
+                path, seed=11, process_index=i, process_count=3
+            )
+            for i in range(3)
+        ]
+        assert all(len(s) == 3 for s in shards)
+        epoch = [[_key(b) for b in s] for s in shards]
+        flat = [k for part in epoch for k in part]
+        assert len(set(flat)) == 9  # disjoint + complete
+        # uneven: 9 batches over 4 processes -> 2 each, lockstep
+        uneven = [
+            MaterializedLoader(
+                path, seed=11, process_index=i, process_count=4
+            )
+            for i in range(4)
+        ]
+        assert all(len(u) == 2 for u in uneven)
+        assert len({k for u in uneven for k in (_key(b) for b in u)}) == 8
+        with pytest.raises(ValueError):
+            MaterializedLoader(path, process_index=1)
+        with pytest.raises(ValueError):
+            MaterializedLoader(path, process_index=3, process_count=3)
+        with pytest.raises(ValueError):
+            MaterializedLoader(path, process_index=0, process_count=99)
+
 
 class TestMaterializedTraining:
     def _sqlite_loader(self):

@@ -404,6 +404,38 @@ def bench_deepice(
     }
 
 
+def _materialize_e2e_pack(n_events_db: int, mat_dir: str) -> None:
+    """Pack the e2e-bench loader's batches to disk (run in a CPU
+    subprocess — see the call site in :func:`bench_e2e_loader`)."""
+    from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+    from graphnet_tpu.data.constants import FEATURES, TRUTH
+    from graphnet_tpu.data.dataloader import DataLoader
+    from graphnet_tpu.data.materialized import materialize
+    from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
+    from graphnet_tpu.datasets.synthetic import cached_prometheus_db
+    from graphnet_tpu.models.detector.prometheus import Prometheus
+    from graphnet_tpu.models.graphs import KNNGraph
+
+    db_path = cached_prometheus_db(n_events=n_events_db, seed=0)
+    ds = SQLiteDataset(
+        path=db_path,
+        graph_definition=KNNGraph(detector=Prometheus()),
+        pulsemaps="total",
+        features=FEATURES.PROMETHEUS,
+        truth=TRUTH.PROMETHEUS,
+        truth_table="mc_truth",
+    )
+    loader = DataLoader(
+        ds,
+        batch_size=128,
+        shuffle=True,
+        seed=0,
+        buckets=(128,),
+        num_workers=4,
+    )
+    materialize(loader, mat_dir, overwrite=True)
+
+
 def bench_e2e_loader(
     n_epochs: int = 4,
     n_events_db: int = 2000,
@@ -566,6 +598,51 @@ def bench_e2e_loader(
     eps_cached, params, opt_state = run_phase(
         1, params, opt_state, source=CachingLoader(loader, seed=0)
     )
+    # Disk-materialised replay: pack the padded batches once in a CPU
+    # SUBPROCESS (materialize() pulls batches to host — a D2H readback,
+    # which on tunneled runtimes would permanently degrade THIS process'
+    # device_put throughput; see CLAUDE.md), then measure memmap-replay
+    # training.  The pack is cached across bench runs.
+    eps_mat = None
+    try:
+        import subprocess
+        import sys
+        import tempfile
+
+        mat_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"graphnet_mat_e2e_{n_events_db}",
+        )
+        if not os.path.exists(os.path.join(mat_dir, "meta.json")):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PALLAS_AXON_POOL_IPS"] = ""
+            repo = os.path.dirname(os.path.abspath(__file__))
+            env["PYTHONPATH"] = (
+                repo + os.pathsep + env.get("PYTHONPATH", "")
+            )
+            subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import bench; bench._materialize_e2e_pack"
+                    f"({n_events_db!r}, {mat_dir!r})",
+                ],
+                check=True,
+                env=env,
+                cwd=repo,
+                timeout=1200,
+            )
+        from graphnet_tpu.data.materialized import MaterializedLoader
+
+        eps_mat, params, opt_state = run_phase(
+            1,
+            params,
+            opt_state,
+            source=MaterializedLoader(mat_dir, seed=0),
+        )
+    except Exception as e:  # keep the bench robust to pack failures
+        eps_mat = f"failed: {e}"
     # Headline = the faster mode.  When the host pipeline (not dispatch
     # latency) is the bottleneck, k>1 only adds buffering stalls and the
     # single-dispatch number wins — report both so the comparison is
@@ -579,6 +656,11 @@ def bench_e2e_loader(
         "single_dispatch_events_per_s": round(eps_k1, 1),
         "multi_dispatch_events_per_s": round(eps_kn, 1),
         "cached_replay_events_per_s": round(eps_cached, 1),
+        "materialized_replay_events_per_s": (
+            round(eps_mat, 1)
+            if isinstance(eps_mat, float)
+            else eps_mat
+        ),
         "steps_per_dispatch": steps_per_dispatch,
         "epochs_timed": n_epochs - 1,
         "note": f"{n_events_db}-event synthetic DB (bootstrap of the "
@@ -587,7 +669,8 @@ def bench_e2e_loader(
         f"per-step / Trainer(steps_per_dispatch={steps_per_dispatch}); "
         "cached_replay = CachingLoader (host pipeline runs once, "
         "HBM-resident replay) — the production mode for datasets that "
-        "fit in device memory",
+        "fit in device memory; materialized_replay = disk-packed "
+        "batches (data/materialized.py), memmap + device_put per step",
     }
 
 

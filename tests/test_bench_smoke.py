@@ -35,6 +35,8 @@ def test_bench_e2e_loader_section(tiny):
     if "skipped" not in out:
         assert out["single_dispatch_events_per_s"] > 0
         assert out["steps_per_dispatch"] == 2
+        mat = out["materialized_replay_events_per_s"]
+        assert isinstance(mat, float) and mat > 0, mat
 
 
 def test_bench_inference_section(tiny):

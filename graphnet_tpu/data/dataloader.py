@@ -308,7 +308,22 @@ class DataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
-        self.buckets = tuple(buckets)
+        # buckets="auto" (or "auto:N") derives the DP-optimal bucket set
+        # for THIS dataset's length distribution (data/bucketing.py)
+        # instead of the shape-agnostic power-of-two defaults
+        self._auto_buckets: Optional[int] = None
+        if isinstance(buckets, str):
+            if buckets != "auto" and not buckets.startswith("auto:"):
+                raise ValueError(
+                    f"buckets={buckets!r}; expected 'auto', 'auto:N', "
+                    "or a sequence of lengths"
+                )
+            self._auto_buckets = (
+                int(buckets.split(":", 1)[1]) if ":" in buckets else 4
+            )
+            self.buckets: Tuple[int, ...] = ()
+        else:
+            self.buckets = tuple(buckets)
         self.min_pulses = min_pulses
         self.length_matching = length_matching
         self.bucket_width = bucket_width
@@ -431,6 +446,14 @@ class DataLoader:
         return res
 
     def __iter__(self) -> Iterator[EventBatch]:
+        if self._auto_buckets is not None and not self.buckets:
+            from graphnet_tpu.data.bucketing import optimize_buckets
+
+            self.buckets = optimize_buckets(
+                self._event_lengths(),
+                n_buckets=self._auto_buckets,
+                align=16,
+            )
         self._valid_slots = 0
         self._total_slots = 0
         for idxs in self._batches():

@@ -132,3 +132,14 @@ class TestLoaderIntegration:
         eff_def = measured(DEFAULT_BUCKETS)
         assert np.isfinite(eff_opt) and np.isfinite(eff_def)
         assert eff_opt >= eff_def
+
+        # buckets="auto:N" resolves to the same optimised set lazily
+        auto = DataLoader(
+            ds, batch_size=8, shuffle=False, buckets="auto:3"
+        )
+        for _ in auto:
+            pass
+        assert auto.buckets == opt
+        assert auto.padding_efficiency == pytest.approx(eff_opt)
+        with pytest.raises(ValueError):
+            DataLoader(ds, buckets="automatic")

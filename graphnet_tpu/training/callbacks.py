@@ -63,3 +63,47 @@ class EarlyStopping:
     @property
     def should_stop(self) -> bool:
         return self.counter >= self.patience
+
+
+class JSONLinesLogger:
+    """Minimal experiment logger for ``Trainer(metric_logger=...)``:
+    appends one JSON object per ``log_metrics`` call to a ``.jsonl``
+    file (step + metrics + wall time).
+
+    In-repo stand-in for the W&B logger the reference examples wire up
+    (``/root/reference/examples/04_training/01_train_dynedge.py:46-56``)
+    — same duck type as ``wandb`` (the Trainer accepts either), no
+    service dependency, trivially machine-readable afterwards::
+
+        logger = JSONLinesLogger("runs/exp1/metrics.jsonl")
+        Trainer(model, metric_logger=logger).fit(loader)
+        history = logger.read()   # list of dicts
+    """
+
+    def __init__(self, path: str):
+        import os
+
+        self.path = path
+        parent = os.path.dirname(os.path.abspath(path))
+        os.makedirs(parent, exist_ok=True)
+        # truncate: one file per run
+        open(path, "w").close()
+
+    def log_metrics(self, metrics, step: int) -> None:
+        import json
+        import time
+
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def read(self):
+        import json
+
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]

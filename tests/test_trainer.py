@@ -315,3 +315,42 @@ class TestStochasticTraining:
         p1 = trainer.predict([batch])
         p2 = trainer.predict([batch])
         np.testing.assert_array_equal(p1[0], p2[0])
+
+
+class TestMetricLogger:
+    def test_jsonlines_logger_through_fit(self, tmp_path):
+        from graphnet_tpu.training.callbacks import JSONLinesLogger
+
+        ds, model = build()
+        loader = DataLoader(ds, batch_size=16, shuffle=False)
+        path = str(tmp_path / "runs" / "metrics.jsonl")
+        logger = JSONLinesLogger(path)
+        trainer = Trainer(model, metric_logger=logger)
+        history = trainer.fit(loader, max_epochs=2)
+        records = logger.read()
+        assert records, "nothing logged"
+        epoch_recs = [r for r in records if "train_loss" in r]
+        assert len(epoch_recs) >= 2
+        # logged epoch losses agree with the returned history
+        np.testing.assert_allclose(
+            [r["train_loss"] for r in epoch_recs[-2:]],
+            history["train_loss"][-2:],
+            rtol=1e-6,
+        )
+        for r in epoch_recs:
+            assert np.isfinite(r["lr"])
+            assert r["step"] >= 0 and "time" in r
+
+    def test_wandb_style_duck_type(self):
+        ds, model = build()
+        loader = DataLoader(ds, batch_size=16, shuffle=False)
+        calls = []
+
+        class FakeWandb:
+            def log(self, metrics, step=None):
+                calls.append((dict(metrics), step))
+
+        Trainer(model, metric_logger=FakeWandb()).fit(
+            loader, max_epochs=1
+        )
+        assert calls and any("train_loss" in m for m, _ in calls)

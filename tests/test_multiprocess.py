@@ -115,3 +115,153 @@ def test_two_process_dp_step_matches_single_process():
     # and it matches the single-process computation on the global batch
     ref = _single_process_loss()
     np.testing.assert_allclose(losses[0], ref, rtol=1e-5)
+
+
+def _pack_batches(path):
+    """Four deterministic same-shape batches packed to disk; returns the
+    batches (host numpy) keyed for shard identification."""
+    import jax
+
+    from graphnet_tpu.batch import make_batch
+    from graphnet_tpu.data.materialized import materialize
+
+    rng = np.random.default_rng(3)
+    batches = []
+    for i in range(4):
+        events = [
+            rng.standard_normal((12 + (i + j) % 5, 4)).astype(
+                np.float32
+            )
+            for j in range(8)
+        ]
+        batches.append(
+            make_batch(
+                events,
+                labels={
+                    "total_energy": np.abs(
+                        rng.standard_normal(8).astype(np.float32)
+                    )
+                    * 100
+                    + 200
+                },
+                length=24,
+            )
+        )
+
+    class _L:
+        def __iter__(self):
+            return iter(batches)
+
+        def __len__(self):
+            return len(batches)
+
+    materialize(_L(), path)
+    return [
+        jax.tree_util.tree_map(np.asarray, b) for b in batches
+    ]
+
+
+def _expected_materialized_loss(b_lo, b_hi) -> float:
+    """Single-process loss on the concatenation of the two shard
+    batches (process 0's slice first)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphnet_tpu.batch import EventBatch
+    from graphnet_tpu.models.gnn.dynedge import DynEdge
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+
+    cat = lambda a, b: np.concatenate([a, b], axis=0)  # noqa: E731
+    batch = EventBatch(
+        x=cat(b_lo.x, b_hi.x),
+        mask=cat(b_lo.mask, b_hi.mask),
+        n_pulses=cat(b_lo.n_pulses, b_hi.n_pulses),
+        labels={
+            "total_energy": cat(
+                b_lo.labels["total_energy"],
+                b_hi.labels["total_energy"],
+            )
+        },
+    )
+    model = StandardModel(
+        backbone=DynEdge(
+            nb_inputs=4,
+            dynedge_layer_sizes=((16, 16), (16, 16)),
+            post_processing_layer_sizes=(16,),
+            readout_layer_sizes=(16,),
+        ),
+        tasks=(
+            EnergyReconstruction(
+                loss_function=LogCoshLoss(),
+                target_labels=("total_energy",),
+                transform_prediction_and_target=lambda t: jnp.log10(t),
+            ),
+        ),
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return float(
+        model.loss_from_batch(model.apply(params, batch), batch)
+    )
+
+
+def test_two_process_materialized_shards_match_single_process(tmp_path):
+    """Production multi-host input path: both processes replay disjoint
+    shards of one disk pack, assemble the global batch, and agree with
+    the single-process loss on the same events."""
+    pack = str(tmp_path / "pack")
+    batches = _pack_batches(pack)
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "tests.tools_multiprocess_materialized",
+                str(pid),
+                "2",
+                str(port),
+                pack,
+            ],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    results = {}
+    for out in outs:
+        m = re.search(
+            r"RESULT pid=(\d+) loss=([-\d.]+) shardkey=(\d+)", out
+        )
+        assert m, f"no RESULT line in:\n{out}"
+        results[int(m.group(1))] = (
+            float(m.group(2)),
+            int(m.group(3)),
+        )
+    assert set(results) == {0, 1}
+    # same replicated global loss on both processes
+    assert results[0][0] == results[1][0], results
+    # shards were DISJOINT: shuffle=False over 4 batches → process 0
+    # reads batch 0, process 1 reads batch 2
+    keys = {
+        int(np.asarray(b.n_pulses).sum()): i
+        for i, b in enumerate(batches)
+    }
+    assert keys[results[0][1]] == 0
+    assert keys[results[1][1]] == 2
+    ref = _expected_materialized_loss(batches[0], batches[2])
+    np.testing.assert_allclose(results[0][0], ref, rtol=1e-5)

@@ -1,0 +1,117 @@
+"""Worker for the 2-process materialized-input test (see
+``tests/test_multiprocess.py``): each process opens the SAME disk pack
+with its own ``process_index`` shard (``data/materialized.py``), takes
+its first batch as the host-local slice of a global batch, and runs one
+DP train step over a global mesh — the multi-host production input path
+(pack once, every host replays its shard) end to end.
+
+Run (from the repo root, once per process):
+    python -m tests.tools_multiprocess_materialized <pid> <nprocs> <port> <pack_dir>
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    pid, nprocs, port, pack_dir = (
+        int(sys.argv[1]),
+        int(sys.argv[2]),
+        int(sys.argv[3]),
+        sys.argv[4],
+    )
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from graphnet_tpu.data.materialized import MaterializedLoader
+    from graphnet_tpu.parallel.distributed import (
+        init_distributed,
+        shard_host_local,
+    )
+
+    init_distributed(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nprocs,
+        process_id=pid,
+    )
+    assert jax.process_count() == nprocs
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from graphnet_tpu.models.gnn.dynedge import DynEdge
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
+    from graphnet_tpu.parallel.mesh import make_mesh, replicated
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+
+    # this host's shard of the shared pack (no device_put: the local
+    # numpy batch becomes a slice of the GLOBAL array below)
+    shard = MaterializedLoader(
+        pack_dir,
+        shuffle=False,
+        process_index=pid,
+        process_count=nprocs,
+        device=None,
+    )
+    local = None
+    for batch in shard:
+        local = jax.tree_util.tree_map(np.asarray, batch)
+        break
+    assert local is not None
+
+    mesh = make_mesh(n_data=len(jax.devices()))
+    gbatch = shard_host_local(local, mesh)
+    B_local = local.x.shape[0]
+    assert gbatch.x.shape[0] == B_local * nprocs
+
+    model = StandardModel(
+        backbone=DynEdge(
+            nb_inputs=local.x.shape[-1],
+            dynedge_layer_sizes=((16, 16), (16, 16)),
+            post_processing_layer_sizes=(16,),
+            readout_layer_sizes=(16,),
+        ),
+        tasks=(
+            EnergyReconstruction(
+                loss_function=LogCoshLoss(),
+                target_labels=("total_energy",),
+                transform_prediction_and_target=lambda t: jnp.log10(t),
+            ),
+        ),
+    )
+    params = jax.device_put(
+        model.init(jax.random.PRNGKey(0), gbatch), replicated(mesh)
+    )
+    optimizer = optax.adam(1e-3, eps=1e-3)
+    opt_state = jax.device_put(optimizer.init(params), replicated(mesh))
+
+    @jax.jit
+    def step(p, s, b):
+        def loss_fn(pp):
+            return model.loss_from_batch(model.apply(pp, b), b)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = optimizer.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    params, opt_state, loss = step(params, opt_state, gbatch)
+    key = int(np.asarray(local.n_pulses).sum())
+    print(
+        f"RESULT pid={pid} loss={float(loss):.8f} shardkey={key}",
+        flush=True,
+    )
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -404,13 +404,17 @@ def bench_deepice(
     }
 
 
-def _materialize_e2e_pack(n_events_db: int, mat_dir: str) -> None:
-    """Pack the e2e-bench loader's batches to disk (run in a CPU
-    subprocess — see the call site in :func:`bench_e2e_loader`)."""
-    from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+# bump when _e2e_loader's pipeline config changes: the materialized-pack
+# cache directory is keyed on it, so stale packs are never replayed
+_E2E_PACK_SCHEMA = "v1"
+
+
+def _e2e_loader(n_events_db: int):
+    """The ONE e2e-bench pipeline (synthetic DB → SQLiteDataset →
+    DataLoader) — shared by the live phases and the pack subprocess so
+    they can never drift apart."""
     from graphnet_tpu.data.constants import FEATURES, TRUTH
     from graphnet_tpu.data.dataloader import DataLoader
-    from graphnet_tpu.data.materialized import materialize
     from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
     from graphnet_tpu.datasets.synthetic import cached_prometheus_db
     from graphnet_tpu.models.detector.prometheus import Prometheus
@@ -425,7 +429,7 @@ def _materialize_e2e_pack(n_events_db: int, mat_dir: str) -> None:
         truth=TRUTH.PROMETHEUS,
         truth_table="mc_truth",
     )
-    loader = DataLoader(
+    return DataLoader(
         ds,
         batch_size=128,
         shuffle=True,
@@ -433,7 +437,28 @@ def _materialize_e2e_pack(n_events_db: int, mat_dir: str) -> None:
         buckets=(128,),
         num_workers=4,
     )
-    materialize(loader, mat_dir, overwrite=True)
+
+
+def _materialize_e2e_pack(n_events_db: int, mat_dir: str) -> None:
+    """Pack the e2e-bench loader's batches to disk (run in a CPU
+    subprocess — see the call site in :func:`bench_e2e_loader`).
+    Writes to a temp dir and renames: concurrent packers cannot
+    interleave into one directory; the loser's finished pack simply
+    replaces (or is discarded in favour of) the winner's."""
+    import shutil
+    import tempfile
+
+    from graphnet_tpu.data.materialized import materialize
+
+    loader = _e2e_loader(n_events_db)
+    tmp = tempfile.mkdtemp(
+        prefix="pack_", dir=os.path.dirname(mat_dir) or "."
+    )
+    materialize(loader, tmp, overwrite=True)
+    try:
+        os.rename(tmp, mat_dir)
+    except OSError:  # another packer won the race; use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_e2e_loader(
@@ -465,13 +490,8 @@ def bench_e2e_loader(
     import optax
 
     from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
-    from graphnet_tpu.data.constants import FEATURES, TRUTH
-    from graphnet_tpu.data.dataloader import DataLoader
     from graphnet_tpu.data.prefetch import PrefetchingLoader
-    from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
-    from graphnet_tpu.models.detector.prometheus import Prometheus
     from graphnet_tpu.models.gnn.dynedge import DynEdge
-    from graphnet_tpu.models.graphs import KNNGraph
     from graphnet_tpu.models.standard_model import StandardModel
     from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
     from graphnet_tpu.training.loss_functions import LogCoshLoss
@@ -479,25 +499,7 @@ def bench_e2e_loader(
     if not os.path.exists(EXAMPLE_SQLITE_DATA):
         return {"skipped": "no example data"}
 
-    from graphnet_tpu.datasets.synthetic import cached_prometheus_db
-
-    db_path = cached_prometheus_db(n_events=n_events_db, seed=0)
-    ds = SQLiteDataset(
-        path=db_path,
-        graph_definition=KNNGraph(detector=Prometheus()),
-        pulsemaps="total",
-        features=FEATURES.PROMETHEUS,
-        truth=TRUTH.PROMETHEUS,
-        truth_table="mc_truth",
-    )
-    loader = DataLoader(
-        ds,
-        batch_size=128,
-        shuffle=True,
-        seed=0,
-        buckets=(128,),
-        num_workers=4,
-    )
+    loader = _e2e_loader(n_events_db)
     model = StandardModel(
         backbone=DynEdge(nb_inputs=D, compute_dtype="bfloat16"),
         tasks=(
@@ -611,7 +613,7 @@ def bench_e2e_loader(
 
         mat_dir = os.path.join(
             tempfile.gettempdir(),
-            f"graphnet_mat_e2e_{n_events_db}",
+            f"graphnet_mat_e2e_{_E2E_PACK_SCHEMA}_{n_events_db}",
         )
         if not os.path.exists(os.path.join(mat_dir, "meta.json")):
             env = dict(os.environ)
@@ -858,7 +860,56 @@ def bench_torch_cpu_baseline(n_steps: int = 3) -> float:
     return B * n_steps / dt
 
 
+def _guard_backend(probe_timeout_s: int = 180) -> str:
+    """Fail over to CPU when the TPU runtime is unreachable.
+
+    The axon TPU backend initialises through a remote tunnel; when the
+    tunnel is down, ``jax.devices()`` hangs *indefinitely* inside
+    backend init (observed 2026-08-18) and the whole bench would hang
+    with it.  Probe device discovery in a SUBPROCESS with a timeout
+    (listing devices doesn't compile anything — healthy init is
+    seconds) and, on failure, force this process to CPU so the bench
+    still emits its JSON line.  Returns a note for the output when the
+    fallback engaged.
+    """
+    if (
+        os.environ.get("JAX_PLATFORMS") == "cpu"
+        and os.environ.get("PALLAS_AXON_POOL_IPS", "unset") == ""
+    ):
+        # genuinely pinned to CPU (both halves of the CLAUDE.md recipe:
+        # JAX_PLATFORMS alone is ignored while the axon plugin trigger
+        # is still set) — nothing to probe
+        return ""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            check=True,
+            timeout=probe_timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return ""
+    except Exception:
+        # both are needed BEFORE the first jax import: the axon plugin
+        # re-registers itself unless its pool-IPs trigger is cleared
+        # (CLAUDE.md), and jax_platforms pins the platform choice
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return (
+            "TPU runtime unreachable (device-discovery probe timed "
+            f"out after {probe_timeout_s}s); measured on CPU fallback "
+            "— NOT a TPU number"
+        )
+
+
 def main() -> None:
+    backend_note = _guard_backend()
     cache = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
     if os.path.exists(cache):
         with open(cache) as f:
@@ -919,7 +970,8 @@ def main() -> None:
                     "max_len": L,
                     "k": K,
                     "compute_dtype": "bfloat16 (params fp32)",
-                    "backend": res["backend"],
+                    "backend": res["backend"]
+                    + (f" ({backend_note})" if backend_note else ""),
                     "baseline": "equivalent dense DynEdge, torch CPU, "
                     "this machine",
                     "baseline_events_per_s": round(baseline, 1),

@@ -70,8 +70,12 @@ def optimize_buckets(
         raise ValueError("align must be >= 1")
     if max_length is not None:
         arr = np.minimum(arr, max_length)
-    # aligned candidate boundaries and event counts per candidate
+    # aligned candidate boundaries and event counts per candidate; the
+    # max_length hard cap wins over alignment (a caller bounding the
+    # compiled node axis must get exactly that bound)
     aligned = (arr + align - 1) // align * align
+    if max_length is not None:
+        aligned = np.minimum(aligned, max_length)
     cand, counts = np.unique(aligned, return_counts=True)
     m = len(cand)
     if n_buckets >= m:

@@ -12,7 +12,7 @@ count under jit).
 from __future__ import annotations
 
 import math
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -297,7 +297,7 @@ class DataLoader:
         batch_size: int = 128,
         shuffle: bool = False,
         seed: Optional[int] = None,
-        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        buckets: Union[Sequence[int], str] = DEFAULT_BUCKETS,
         min_pulses: int = 2,
         length_matching: bool = True,
         bucket_width: int = 16,
@@ -321,9 +321,9 @@ class DataLoader:
             self._auto_buckets = (
                 int(buckets.split(":", 1)[1]) if ":" in buckets else 4
             )
-            self.buckets: Tuple[int, ...] = ()
+            self._buckets: Tuple[int, ...] = ()
         else:
-            self.buckets = tuple(buckets)
+            self._buckets = tuple(buckets)
         self.min_pulses = min_pulses
         self.length_matching = length_matching
         self.bucket_width = bucket_width
@@ -445,15 +445,23 @@ class DataLoader:
             return (None, 0, 0)
         return res
 
-    def __iter__(self) -> Iterator[EventBatch]:
-        if self._auto_buckets is not None and not self.buckets:
+    @property
+    def buckets(self) -> Tuple[int, ...]:
+        """The bucket set; ``"auto[:N]"`` resolves on first access
+        (scans event lengths once — they're cached for the sampler
+        anyway), so pre-iteration consumers always see real buckets."""
+        if self._auto_buckets is not None and not self._buckets:
             from graphnet_tpu.data.bucketing import optimize_buckets
 
-            self.buckets = optimize_buckets(
+            self._buckets = optimize_buckets(
                 self._event_lengths(),
                 n_buckets=self._auto_buckets,
                 align=16,
             )
+        return self._buckets
+
+    def __iter__(self) -> Iterator[EventBatch]:
+        self.buckets  # resolve "auto"
         self._valid_slots = 0
         self._total_slots = 0
         for idxs in self._batches():

@@ -132,10 +132,15 @@ def materialize(loader, path: str, overwrite: bool = False) -> dict:
     metadata (also stored as ``meta.json``).
     """
     meta_path = os.path.join(path, _META)
-    if os.path.exists(meta_path) and not overwrite:
-        raise FileExistsError(
-            f"{meta_path} exists; pass overwrite=True to repack"
-        )
+    if os.path.exists(meta_path):
+        if not overwrite:
+            raise FileExistsError(
+                f"{meta_path} exists; pass overwrite=True to repack"
+            )
+        # invalidate BEFORE truncating any leaf file: a crash mid-repack
+        # (or a concurrent reader) must see "no store", never a stale
+        # meta.json pointing at half-rewritten data
+        os.remove(meta_path)
     os.makedirs(path, exist_ok=True)
     writers: Dict[str, _GroupWriter] = {}
     n_batches = 0
@@ -223,12 +228,17 @@ class MaterializedLoader:
         seed: shuffle seed (epoch index is folded in).
         device: target device or sharding for ``jax.device_put``
             (None = default device).
+        to_device: False yields host numpy batches (memmap views) with
+            NO ``device_put`` — for consumers that assemble global
+            arrays themselves (multi-host ``shard_host_local``) or must
+            stay off-device.
         process_index / process_count: this host's shard of the batch
             stream (None = serve everything).
     """
 
     def __init__(self, path: str, shuffle: bool = True, seed: int = 0,
-                 device=None, process_index: Optional[int] = None,
+                 device=None, to_device: bool = True,
+                 process_index: Optional[int] = None,
                  process_count: Optional[int] = None):
         with open(os.path.join(path, _META)) as f:
             meta = json.load(f)
@@ -240,6 +250,7 @@ class MaterializedLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.device = device
+        self.to_device = to_device
         self._groups = [_Group(path, g) for g in meta["groups"]]
         self._index: List[Tuple[int, int]] = [
             (gi, i)
@@ -294,7 +305,9 @@ class MaterializedLoader:
         for j in order:
             gi, i = self._index[j]
             batch = self._groups[gi].batch(i)
-            if self.device is not None:
+            if not self.to_device:
+                yield batch
+            elif self.device is not None:
                 yield jax.device_put(batch, self.device)
             else:
                 yield jax.device_put(batch)

@@ -66,19 +66,28 @@ class DeploymentModule(Logger):
     def __call__(
         self, events: Union[Event, List[Event]]
     ) -> np.ndarray:
-        """Predict on one or more events; returns ``[n_events, n_cols]``."""
+        """Predict on one or more events; returns ``[n_events, n_cols]``,
+        one row per input event (0-pulse events, which cannot be
+        collated, yield NaN rows so row alignment is preserved)."""
         if isinstance(events, Event):
             events = [events]
         if self._predict_fn is None:
             self._compile()
-        batch = collate_events(events, min_pulses=1)
-        assert batch is not None, "all events empty"
+        kept = [i for i, e in enumerate(events) if e.n_pulses >= 1]
+        ncols = len(self.prediction_columns)
+        full = np.full((len(events), ncols), np.nan, np.float32)
+        if not kept:
+            return full
+        batch = collate_events(
+            [events[i] for i in kept], min_pulses=1
+        )
         n_real = batch.batch_size
         batch = self._pad_batch_size(batch)
         outs = self._predict_fn(self.params, batch)
-        return np.concatenate(
+        full[kept] = np.concatenate(
             [np.asarray(o)[:n_real] for o in outs], axis=1
         )
+        return full
 
     def export_serving(
         self,

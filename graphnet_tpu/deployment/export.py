@@ -111,11 +111,19 @@ class ExportedModel(Logger):
 
     Mirrors the :class:`~graphnet_tpu.deployment.deployment_module.
     DeploymentModule` call contract (events in, ``[n_events, n_cols]``
-    out) so deployers can use either interchangeably; requests are padded
-    to the exported batch grid and chunked by its largest batch size.
+    out, one row per input event — empty events yield NaN rows) so
+    deployers can use either interchangeably; requests are padded to the
+    exported batch grid and chunked by its largest batch size.
+
+    Args:
+        path: directory written by :func:`export_serving`.
+        truncate_long: events longer than the largest exported length
+            raise by default (the live module would use more pulses —
+            a silent truncation would quietly degrade predictions);
+            pass True to accept first-L-pulses truncation instead.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, truncate_long: bool = False):
         super().__init__()
         with open(os.path.join(path, _META)) as f:
             meta = json.load(f)
@@ -125,6 +133,7 @@ class ExportedModel(Logger):
             )
         from jax import export as jexport
 
+        self.truncate_long = truncate_long
         self.nb_inputs = meta["nb_inputs"]
         self.prediction_columns = meta["prediction_columns"]
         self._fns = {}
@@ -149,10 +158,26 @@ class ExportedModel(Logger):
         return np.concatenate(outs, axis=0)
 
     def _call_chunk(self, events: List[Event]) -> np.ndarray:
+        max_len = self._lengths[-1]
+        long = [e.n_pulses for e in events if e.n_pulses > max_len]
+        if long and not self.truncate_long:
+            raise ValueError(
+                f"event with {max(long)} pulses exceeds the largest "
+                f"exported length {max_len}; re-export with longer "
+                "lengths= or opt into ExportedModel(truncate_long=True)"
+            )
+        # 0-pulse events get NaN rows (they cannot be collated); rows
+        # stay aligned with the input events
+        kept = [i for i, e in enumerate(events) if e.n_pulses >= 1]
+        ncols = len(self.prediction_columns)
+        full = np.full((len(events), ncols), np.nan, np.float32)
+        if not kept:
+            return full
         batch = collate_events(
-            events, buckets=self._lengths, min_pulses=1
+            [events[i] for i in kept],
+            buckets=self._lengths,
+            min_pulses=1,
         )
-        assert batch is not None, "all events empty"
         if batch.num_features != self.nb_inputs:
             raise ValueError(
                 f"events have {batch.num_features} features; artifact "
@@ -168,4 +193,5 @@ class ExportedModel(Logger):
         mask[:n_real] = np.asarray(batch.mask)
         n_pulses[:n_real] = np.asarray(batch.n_pulses)
         out = self._fns[(B, L)].call(x, mask, n_pulses)
-        return np.asarray(out)[:n_real]
+        full[kept] = np.asarray(out)[:n_real]
+        return full

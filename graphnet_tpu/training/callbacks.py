@@ -78,16 +78,22 @@ class JSONLinesLogger:
         logger = JSONLinesLogger("runs/exp1/metrics.jsonl")
         Trainer(model, metric_logger=logger).fit(loader)
         history = logger.read()   # list of dicts
+
+    Pass ``resume=True`` when the run itself resumes
+    (``Trainer.fit(resume=True)`` after preemption) so pre-preemption
+    records are kept; the default truncates for a fresh run.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, resume: bool = False):
         import os
 
         self.path = path
         parent = os.path.dirname(os.path.abspath(path))
         os.makedirs(parent, exist_ok=True)
-        # truncate: one file per run
-        open(path, "w").close()
+        if not resume:
+            open(path, "w").close()
+        elif not os.path.exists(path):
+            open(path, "a").close()
 
     def log_metrics(self, metrics, step: int) -> None:
         import json

@@ -75,6 +75,11 @@ class TestOptimizeBuckets:
         )
         assert got[-1] == 768
         assert padding_efficiency(lengths, got) > 0
+        # the hard cap wins over alignment (100 is not a multiple of 16)
+        got = optimize_buckets(
+            lengths, n_buckets=2, align=16, max_length=100
+        )
+        assert got[-1] == 100
 
     def test_small_inputs_and_validation(self):
         assert optimize_buckets([3], n_buckets=4, align=16) == (16,)

@@ -108,6 +108,52 @@ class TestExportServing:
             out, module(events[:n]), rtol=2e-4, atol=1e-5
         )
 
+    def test_long_event_guard_and_optin_truncation(self, artifacts):
+        """Events beyond the exported length grid raise (the live
+        module would use more pulses); truncate_long=True opts into
+        first-L-pulses truncation."""
+        from graphnet_tpu.models.graphs.graph_definition import Event
+
+        _, export_dir, _, events = artifacts
+        rng = np.random.default_rng(0)
+        long_ev = Event(
+            x=rng.standard_normal((200, 4)).astype(np.float32),
+            features=list(events[0].features),
+        )
+        served = ExportedModel(export_dir)  # max exported L = 128
+        with pytest.raises(ValueError, match="exceeds the largest"):
+            served(long_ev)
+        lax = ExportedModel(export_dir, truncate_long=True)
+        out = lax(long_ev)
+        truncated = Event(
+            x=long_ev.x[:128], features=list(long_ev.features)
+        )
+        np.testing.assert_allclose(
+            out, lax(truncated), rtol=2e-4, atol=1e-5
+        )
+
+    def test_empty_event_rows_stay_aligned(self, artifacts):
+        """0-pulse events yield NaN rows; other rows keep their input
+        positions (both serving paths)."""
+        from graphnet_tpu.models.graphs.graph_definition import Event
+
+        module, export_dir, _, events = artifacts
+        empty = Event(
+            x=np.zeros((0, 4), np.float32),
+            features=list(events[0].features),
+        )
+        req = [events[0], empty, events[1]]
+        for impl in (module, ExportedModel(export_dir)):
+            out = impl(req)
+            assert out.shape == (3, 1)
+            assert np.isnan(out[1, 0])
+            singles = np.concatenate(
+                [impl(events[0]), impl(events[1])]
+            )
+            np.testing.assert_allclose(
+                out[[0, 2]], singles, rtol=2e-4, atol=1e-5
+            )
+
     def test_feature_width_guard(self, artifacts):
         _, export_dir, _, events = artifacts
         served = ExportedModel(export_dir)

@@ -153,6 +153,34 @@ class TestMaterializedStore:
         with pytest.raises(ValueError):
             materialize(_ListLoader([]), str(tmp_path / "s"))
 
+    def test_crashed_repack_invalidates_store(self, tmp_path):
+        """overwrite=True removes meta.json BEFORE touching leaf files:
+        a crash mid-repack leaves "no store", never stale metadata over
+        half-rewritten data."""
+        src = synthetic_batches()
+        path = str(tmp_path / "store")
+        materialize(_ListLoader(src), path)
+
+        class Exploding:
+            def __iter__(self):
+                yield src[0]
+                raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError):
+            materialize(Exploding(), path, overwrite=True)
+        assert not os.path.exists(os.path.join(path, "meta.json"))
+        with pytest.raises(FileNotFoundError):
+            MaterializedLoader(path)
+
+    def test_to_device_false_yields_host_numpy(self, tmp_path):
+        src = synthetic_batches()
+        path = str(tmp_path / "store")
+        materialize(_ListLoader(src), path)
+        ml = MaterializedLoader(path, shuffle=False, to_device=False)
+        b = next(iter(ml))
+        assert isinstance(np.asarray(b.x), np.ndarray)
+        assert type(b.x).__module__.startswith("numpy")
+
     def test_process_sharding(self, tmp_path):
         """Hosts read disjoint equal-length slices of one shared
         permutation; the union covers all batches each full epoch when

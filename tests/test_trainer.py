@@ -354,3 +354,17 @@ class TestMetricLogger:
             loader, max_epochs=1
         )
         assert calls and any("train_loss" in m for m, _ in calls)
+
+    def test_jsonlines_logger_resume_appends(self, tmp_path):
+        from graphnet_tpu.training.callbacks import JSONLinesLogger
+
+        path = str(tmp_path / "m.jsonl")
+        a = JSONLinesLogger(path)
+        a.log_metrics({"train_loss": 1.0}, step=1)
+        b = JSONLinesLogger(path, resume=True)
+        b.log_metrics({"train_loss": 0.5}, step=2)
+        recs = b.read()
+        assert [r["step"] for r in recs] == [1, 2]
+        # default truncates (fresh run)
+        c = JSONLinesLogger(path)
+        assert c.read() == []

@@ -54,20 +54,23 @@ def main() -> None:
     from graphnet_tpu.parallel.mesh import make_mesh, replicated
     from graphnet_tpu.training.loss_functions import LogCoshLoss
 
-    # this host's shard of the shared pack (no device_put: the local
-    # numpy batch becomes a slice of the GLOBAL array below)
+    # this host's shard of the shared pack; to_device=False yields host
+    # numpy (the local batch becomes a slice of the GLOBAL array below
+    # — no device_put and no D2H readback, which on tunneled runtimes
+    # would degrade every later transfer)
     shard = MaterializedLoader(
         pack_dir,
         shuffle=False,
         process_index=pid,
         process_count=nprocs,
-        device=None,
+        to_device=False,
     )
     local = None
     for batch in shard:
-        local = jax.tree_util.tree_map(np.asarray, batch)
+        local = batch
         break
     assert local is not None
+    assert isinstance(local.x, np.ndarray)
 
     mesh = make_mesh(n_data=len(jax.devices()))
     gbatch = shard_host_local(local, mesh)

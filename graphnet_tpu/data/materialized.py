@@ -217,10 +217,13 @@ class MaterializedLoader:
     Args:
     Multi-host: pass ``process_index``/``process_count`` (e.g.
     ``jax.process_index()``/``jax.process_count()``) and each process
-    reads a disjoint slice of a shared epoch permutation, truncated to
-    equal per-process step counts so collectives stay in lockstep; the
-    permutation is seed+epoch-deterministic, so all hosts agree without
-    communicating.
+    reads a disjoint, SHAPE-ALIGNED shard: at step ``t`` every process
+    serves a batch from the same shape group (hosts assembling a global
+    array must agree on its shape), drawn from its own slice of that
+    group's shared permutation, truncated to equal per-process step
+    counts so collectives stay in lockstep.  Both the per-group
+    permutations and the step→group schedule are seed+epoch-
+    deterministic, so all hosts agree without communicating.
 
     Args:
         path: directory written by :func:`materialize`.
@@ -268,10 +271,12 @@ class MaterializedLoader:
                     f"process_index {process_index} out of range for "
                     f"process_count {process_count}"
                 )
-            if len(self._index) < process_count:
+            if not any(
+                g.n >= process_count for g in self._groups
+            ):
                 raise ValueError(
-                    f"{len(self._index)} batches cannot be sharded "
-                    f"across {process_count} processes"
+                    f"no shape group has >= {process_count} batches; "
+                    "nothing can be sharded in lockstep"
                 )
         self.process_index = process_index
         self.process_count = process_count
@@ -286,24 +291,42 @@ class MaterializedLoader:
 
     def __len__(self) -> int:
         if self.process_count is not None:
-            return len(self._index) // self.process_count
+            return sum(
+                g.n // self.process_count for g in self._groups
+            )
         return len(self._index)
 
-    def __iter__(self) -> Iterator[EventBatch]:
-        order = np.arange(len(self._index))
-        if self.shuffle:
-            order = np.random.default_rng(
-                self.seed + self._epoch
-            ).permutation(order)
-        self._epoch += 1
-        if self.process_count is not None:
-            # equal-length disjoint slices of the SHARED permutation:
-            # every host runs the same number of steps per epoch
-            per = len(order) // self.process_count
+    def _epoch_order(self) -> List[Tuple[int, int]]:
+        """(group, batch) sequence for this epoch (deterministic in
+        seed+epoch; identical on every process)."""
+        rng = np.random.default_rng(self.seed + self._epoch)
+        if self.process_count is None:
+            order = np.arange(len(self._index))
+            if self.shuffle:
+                order = rng.permutation(order)
+            return [self._index[j] for j in order]
+        # shape-aligned shards: per group, a SHARED permutation sliced
+        # disjointly per process; the step->group schedule is shared, so
+        # at any step every process serves the same batch shape
+        mine: List[Iterator[int]] = []
+        schedule: List[int] = []
+        for gi, g in enumerate(self._groups):
+            order = np.arange(g.n)
+            if self.shuffle:
+                order = rng.permutation(order)
+            per = g.n // self.process_count
             lo = self.process_index * per
-            order = order[lo : lo + per]
-        for j in order:
-            gi, i = self._index[j]
+            mine.append(iter(order[lo : lo + per].tolist()))
+            schedule.extend([gi] * per)
+        sched = np.asarray(schedule, dtype=np.int64)
+        if self.shuffle:
+            sched = rng.permutation(sched)
+        return [(int(gi), next(mine[gi])) for gi in sched]
+
+    def __iter__(self) -> Iterator[EventBatch]:
+        order = self._epoch_order()
+        self._epoch += 1
+        for gi, i in order:
             batch = self._groups[gi].batch(i)
             if not self.to_device:
                 yield batch

@@ -195,6 +195,12 @@ class Trainer(Logger):
         if self.mesh is None:
             return batch
         n = self.mesh.shape[self.data_axis]
+        P = jax.process_count()
+        if P > 1:
+            # multi-host: this is the process-LOCAL batch (global B =
+            # local B x P), so divisibility is per-process
+            assert n % P == 0, (self.mesh.shape, P)
+            n //= P
         B = batch.batch_size
         rem = B % n
         if rem == 0:
@@ -238,6 +244,21 @@ class Trainer(Logger):
         sharding = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec(self.data_axis)
         )
+        if jax.process_count() > 1:
+            # multi-host: every process feeds its LOCAL batch; the
+            # global array (B_local x P on the batch axis) is assembled
+            # without any cross-host data movement.  Feed shape-aligned
+            # per-process streams (MaterializedLoader process shards, or
+            # equal slices of a shared selection) so all hosts agree on
+            # the global shape each step.
+            def put(x):
+                if hasattr(x, "ndim") and x.ndim >= 1:
+                    return jax.make_array_from_process_local_data(
+                        sharding, np.asarray(x)
+                    )
+                return x
+
+            return jax.tree_util.tree_map(put, batch)
 
         def put(x):
             if hasattr(x, "ndim") and x.ndim >= 1:

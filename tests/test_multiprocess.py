@@ -265,3 +265,132 @@ def test_two_process_materialized_shards_match_single_process(tmp_path):
     assert keys[results[1][1]] == 2
     ref = _expected_materialized_loss(batches[0], batches[2])
     np.testing.assert_allclose(results[0][0], ref, rtol=1e-5)
+
+
+def test_two_process_trainer_fit_over_materialized_shards(tmp_path):
+    """Trainer.fit runs multi-host end to end: each process feeds its
+    shape-aligned MaterializedLoader shard, _shard_batch assembles the
+    global batch via make_array_from_process_local_data, and both
+    processes converge to identical params — matching a single-process
+    mesh run over the equivalent global batch stream."""
+    pack = str(tmp_path / "pack")
+    _pack_batches(pack)
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "tests.tools_multiprocess_materialized",
+                str(pid),
+                "2",
+                str(port),
+                pack,
+                "fit",
+            ],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    results = {}
+    for out in outs:
+        m = re.search(
+            r"RESULT pid=(\d+) losses=([-\d.,]+) checksum=([-\d.]+)",
+            out,
+        )
+        assert m, f"no RESULT line in:\n{out}"
+        results[int(m.group(1))] = (
+            [float(v) for v in m.group(2).split(",")],
+            float(m.group(3)),
+        )
+    assert set(results) == {0, 1}
+    # identical loss history and final params on both processes
+    assert results[0][0] == results[1][0], results
+    assert results[0][1] == results[1][1], results
+    assert len(results[0][0]) == 2
+    assert all(np.isfinite(v) for v in results[0][0])
+
+    # single-process reference: the same global batch stream (concat of
+    # the two shards per step — same seed => same shared schedule) on
+    # the in-test 8-device mesh
+    import jax
+
+    from graphnet_tpu.batch import EventBatch
+    from graphnet_tpu.data.materialized import MaterializedLoader
+    from graphnet_tpu.parallel.mesh import make_mesh
+    from graphnet_tpu.training.trainer import Trainer
+
+    class GlobalStream:
+        def __init__(self):
+            self.shards = [
+                MaterializedLoader(
+                    pack,
+                    shuffle=True,
+                    seed=5,
+                    process_index=i,
+                    process_count=2,
+                    to_device=False,
+                )
+                for i in range(2)
+            ]
+
+        def __len__(self):
+            return len(self.shards[0])
+
+        def __iter__(self):
+            for b0, b1 in zip(*self.shards):
+                cat = lambda a, b: np.concatenate(  # noqa: E731
+                    [np.asarray(a), np.asarray(b)], axis=0
+                )
+                yield EventBatch(
+                    x=cat(b0.x, b1.x),
+                    mask=cat(b0.mask, b1.mask),
+                    n_pulses=cat(b0.n_pulses, b1.n_pulses),
+                    labels={
+                        k: cat(v, b1.labels[k])
+                        for k, v in b0.labels.items()
+                    },
+                )
+
+    import jax.numpy as jnp
+
+    from graphnet_tpu.models.gnn.dynedge import DynEdge
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+
+    model = StandardModel(
+        backbone=DynEdge(
+            nb_inputs=4,
+            dynedge_layer_sizes=((16, 16), (16, 16)),
+            post_processing_layer_sizes=(16,),
+            readout_layer_sizes=(16,),
+        ),
+        tasks=(
+            EnergyReconstruction(
+                loss_function=LogCoshLoss(),
+                target_labels=("total_energy",),
+                transform_prediction_and_target=lambda t: jnp.log10(t),
+            ),
+        ),
+    )
+    mesh = make_mesh(n_data=len(jax.devices()))
+    trainer = Trainer(model, mesh=mesh, learning_rate=1e-3)
+    ref = trainer.fit(GlobalStream(), max_epochs=2)
+    np.testing.assert_allclose(
+        results[0][0], ref["train_loss"], rtol=1e-5
+    )

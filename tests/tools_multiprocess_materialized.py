@@ -5,8 +5,15 @@ its first batch as the host-local slice of a global batch, and runs one
 DP train step over a global mesh — the multi-host production input path
 (pack once, every host replays its shard) end to end.
 
+Two modes:
+  * ``step`` — one hand-rolled DP train step (global-loss parity);
+  * ``fit``  — a full 2-epoch ``Trainer.fit(mesh=...)`` over the shard
+    (the Trainer's multi-host batch assembly,
+    ``trainer.py::_shard_batch``), printing the loss history and a
+    parameter checksum.
+
 Run (from the repo root, once per process):
-    python -m tests.tools_multiprocess_materialized <pid> <nprocs> <port> <pack_dir>
+    python -m tests.tools_multiprocess_materialized <pid> <nprocs> <port> <pack_dir> [step|fit]
 """
 
 import os
@@ -20,6 +27,7 @@ def main() -> None:
         int(sys.argv[3]),
         sys.argv[4],
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "step"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=4"
@@ -54,6 +62,60 @@ def main() -> None:
     from graphnet_tpu.parallel.mesh import make_mesh, replicated
     from graphnet_tpu.training.loss_functions import LogCoshLoss
 
+    def build_model():
+        return StandardModel(
+            backbone=DynEdge(
+                nb_inputs=4,
+                dynedge_layer_sizes=((16, 16), (16, 16)),
+                post_processing_layer_sizes=(16,),
+                readout_layer_sizes=(16,),
+            ),
+            tasks=(
+                EnergyReconstruction(
+                    loss_function=LogCoshLoss(),
+                    target_labels=("total_energy",),
+                    transform_prediction_and_target=lambda t: jnp.log10(
+                        t
+                    ),
+                ),
+            ),
+        )
+
+    if mode == "fit":
+        from graphnet_tpu.training.trainer import Trainer
+
+        shard = MaterializedLoader(
+            pack_dir,
+            shuffle=True,
+            seed=5,
+            process_index=pid,
+            process_count=nprocs,
+            to_device=False,
+        )
+        mesh = make_mesh(n_data=len(jax.devices()))
+        trainer = Trainer(
+            build_model(), mesh=mesh, learning_rate=1e-3
+        )
+        history = trainer.fit(shard, max_epochs=2)
+        losses = ",".join(
+            f"{v:.8f}" for v in history["train_loss"]
+        )
+        checksum = float(
+            sum(
+                float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree_util.tree_leaves(
+                    trainer.state.params
+                )
+            )
+        )
+        print(
+            f"RESULT pid={pid} losses={losses} "
+            f"checksum={checksum:.6f}",
+            flush=True,
+        )
+        jax.distributed.shutdown()
+        return
+
     # this host's shard of the shared pack; to_device=False yields host
     # numpy (the local batch becomes a slice of the GLOBAL array below
     # — no device_put and no D2H readback, which on tunneled runtimes
@@ -77,21 +139,7 @@ def main() -> None:
     B_local = local.x.shape[0]
     assert gbatch.x.shape[0] == B_local * nprocs
 
-    model = StandardModel(
-        backbone=DynEdge(
-            nb_inputs=local.x.shape[-1],
-            dynedge_layer_sizes=((16, 16), (16, 16)),
-            post_processing_layer_sizes=(16,),
-            readout_layer_sizes=(16,),
-        ),
-        tasks=(
-            EnergyReconstruction(
-                loss_function=LogCoshLoss(),
-                target_labels=("total_energy",),
-                transform_prediction_and_target=lambda t: jnp.log10(t),
-            ),
-        ),
-    )
+    model = build_model()
     params = jax.device_put(
         model.init(jax.random.PRNGKey(0), gbatch), replicated(mesh)
     )

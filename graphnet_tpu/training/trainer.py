@@ -757,11 +757,27 @@ class Trainer(Logger):
         self.info(f"model has {int(n):,} parameters")
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _local_rows(o) -> np.ndarray:
+        """This process's rows of a batch-sharded global output (its
+        local batch occupies a contiguous global-row block, split over
+        its addressable devices)."""
+        shards = sorted(
+            o.addressable_shards,
+            key=lambda s: s.index[0].start or 0,
+        )
+        return np.concatenate(
+            [np.asarray(s.data) for s in shards], axis=0
+        )
+
     def predict(self, loader) -> List[np.ndarray]:
         """Per-task predictions, concatenated over batches
-        (reference ``easy_model.py:289-318``)."""
+        (reference ``easy_model.py:289-318``).  Multi-host: each process
+        feeds its local batches and receives predictions for exactly
+        those events."""
         if self._predict_fn is None:
             self._make_steps()
+        multihost = jax.process_count() > 1
         per_task: Optional[List[List[np.ndarray]]] = None
         for batch in loader:
             real_b = batch.batch_size
@@ -772,8 +788,12 @@ class Trainer(Logger):
             if per_task is None:
                 per_task = [[] for _ in outs]
             for i, o in enumerate(outs):
-                # drop mesh-divisibility pad events, if any
-                per_task[i].append(np.asarray(o)[:real_b])
+                # local rows under multi-host (the global array is not
+                # fully addressable); drop mesh-divisibility pad events
+                arr = (
+                    self._local_rows(o) if multihost else np.asarray(o)
+                )
+                per_task[i].append(arr[:real_b])
         assert per_task is not None, "empty loader"
         return [np.concatenate(chunks, axis=0) for chunks in per_task]
 

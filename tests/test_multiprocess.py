@@ -394,3 +394,99 @@ def test_two_process_trainer_fit_over_materialized_shards(tmp_path):
     np.testing.assert_allclose(
         results[0][0], ref["train_loss"], rtol=1e-5
     )
+
+
+def test_two_process_predict_returns_local_rows(tmp_path):
+    """Multi-host predict: each process receives predictions for exactly
+    its shard's events, equal to a single-process predict on the same
+    batches."""
+    pack = str(tmp_path / "pack")
+    _pack_batches(pack)
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "tests.tools_multiprocess_materialized",
+                str(pid),
+                "2",
+                str(port),
+                pack,
+                "predict",
+            ],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    results = {}
+    for out in outs:
+        m = re.search(
+            r"RESULT pid=(\d+) shape=(\d+)x(\d+) sum=([-\d.]+)", out
+        )
+        assert m, f"no RESULT line in:\n{out}"
+        results[int(m.group(1))] = (
+            int(m.group(2)),
+            int(m.group(3)),
+            float(m.group(4)),
+        )
+    assert set(results) == {0, 1}
+    # 4 batches of 8 events, one shape group: 2 batches (16 events) each
+    assert results[0][:2] == (16, 1)
+    assert results[1][:2] == (16, 1)
+
+    # single-process reference per shard (same params: same PRNG seed,
+    # shape-independent init)
+    from graphnet_tpu.data.materialized import MaterializedLoader
+    from graphnet_tpu.training.trainer import Trainer
+
+    import jax.numpy as jnp
+
+    from graphnet_tpu.models.gnn.dynedge import DynEdge
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+
+    for pid in (0, 1):
+        model = StandardModel(
+            backbone=DynEdge(
+                nb_inputs=4,
+                dynedge_layer_sizes=((16, 16), (16, 16)),
+                post_processing_layer_sizes=(16,),
+                readout_layer_sizes=(16,),
+            ),
+            tasks=(
+                EnergyReconstruction(
+                    loss_function=LogCoshLoss(),
+                    target_labels=("total_energy",),
+                    transform_prediction_and_target=lambda t: jnp.log10(
+                        t
+                    ),
+                ),
+            ),
+        )
+        shard = MaterializedLoader(
+            pack,
+            shuffle=False,
+            process_index=pid,
+            process_count=2,
+            to_device=False,
+        )
+        ref = Trainer(model).predict(shard)[0]
+        assert ref.shape == (16, 1)
+        np.testing.assert_allclose(
+            results[pid][2], float(np.sum(ref)), rtol=1e-5
+        )

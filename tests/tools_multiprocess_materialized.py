@@ -116,6 +116,28 @@ def main() -> None:
         jax.distributed.shutdown()
         return
 
+    if mode == "predict":
+        from graphnet_tpu.training.trainer import Trainer
+
+        shard = MaterializedLoader(
+            pack_dir,
+            shuffle=False,
+            process_index=pid,
+            process_count=nprocs,
+            to_device=False,
+        )
+        mesh = make_mesh(n_data=len(jax.devices()))
+        trainer = Trainer(build_model(), mesh=mesh)
+        preds = trainer.predict(shard)
+        arr = preds[0]
+        print(
+            f"RESULT pid={pid} shape={arr.shape[0]}x{arr.shape[1]} "
+            f"sum={float(np.sum(arr)):.8f}",
+            flush=True,
+        )
+        jax.distributed.shutdown()
+        return
+
     # this host's shard of the shared pack; to_device=False yields host
     # numpy (the local batch becomes a slice of the GLOBAL array below
     # — no device_put and no D2H readback, which on tunneled runtimes

@@ -289,6 +289,15 @@ class MaterializedLoader:
             materialize(loader, path)
         return cls(path, **kwargs)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle schedule to ``epoch`` (the torch
+        ``DistributedSampler.set_epoch`` pattern).  ``Trainer.fit``
+        calls this at every epoch start when available, which makes a
+        resumed run replay exactly the batch order of the uninterrupted
+        one — without it, a fresh loader restarts its internal epoch
+        counter at 0."""
+        self._epoch = int(epoch)
+
     def __len__(self) -> int:
         if self.process_count is not None:
             return sum(

@@ -101,6 +101,11 @@ class CachingLoader:
         self._cache: Optional[list] = None
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the replay-shuffle schedule to ``epoch`` (see
+        ``MaterializedLoader.set_epoch``); epoch 0 still materialises."""
+        self._epoch = max(1, int(epoch)) if self._cache else 0
+
     def __len__(self) -> int:
         if self._cache is not None:
             return len(self._cache)

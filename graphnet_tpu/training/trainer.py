@@ -571,6 +571,11 @@ class Trainer(Logger):
             profiling = True
 
         for epoch in range(start_epoch, max_epochs):
+            # pin epoch-dependent shuffle schedules (CachingLoader/
+            # MaterializedLoader): a resumed run then replays exactly
+            # the batch order the uninterrupted run would have used
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
             t0 = time.time()
             losses = []
             n_events = 0
@@ -924,6 +929,17 @@ class Trainer(Logger):
                     float(self._avg_count) if seeded else 0.0
                 ),
             }
+        if jax.process_count() > 1 and self.param_sharding != "replicated":
+            # device_get above requires fully-addressable (replicated)
+            # state; multi-host sharded-state checkpointing would need
+            # orbax's global-array path
+            raise NotImplementedError(
+                "multi-host checkpointing currently supports "
+                "replicated params only (param_sharding="
+                f"{self.param_sharding!r})"
+            )
+        # collective under multi-host: every process calls save (orbax
+        # syncs internally; only the primary host writes the arrays)
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 

@@ -490,3 +490,75 @@ def test_two_process_predict_returns_local_rows(tmp_path):
         np.testing.assert_allclose(
             results[pid][2], float(np.sum(ref)), rtol=1e-5
         )
+
+
+def _launch_pair(pack, mode, timeout=540):
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "tests.tools_multiprocess_materialized",
+                str(pid),
+                "2",
+                str(port),
+                pack,
+                mode,
+            ],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    results = {}
+    for out in outs:
+        m = re.search(
+            r"RESULT pid=(\d+) losses=([-\d.,]+) checksum=([-\d.]+)",
+            out,
+        )
+        assert m, f"no RESULT line in:\n{out}"
+        results[int(m.group(1))] = (
+            [float(v) for v in m.group(2).split(",")],
+            float(m.group(3)),
+        )
+    assert set(results) == {0, 1}
+    return results
+
+
+def test_two_process_checkpoint_resume(tmp_path):
+    """Multi-host preemption recovery: process-0-only orbax snapshot +
+    cross-host barrier, fresh trainers+loaders resume at epoch 1, and
+    (set_epoch) the resumed epoch replays the exact uninterrupted batch
+    order — identical epoch-1 loss and final params."""
+    pack_a = str(tmp_path / "pack_a")
+    _pack_batches(pack_a)
+    straight = _launch_pair(pack_a, "fit")
+    pack_b = str(tmp_path / "pack_b")
+    _pack_batches(pack_b)
+    resumed = _launch_pair(pack_b, "fitresume")
+
+    # cross-process identity in both runs
+    assert straight[0] == straight[1]
+    assert resumed[0] == resumed[1]
+    # resumed history = [epoch-1 loss] only (epoch 0 ran pre-"preemption")
+    assert len(resumed[0][0]) == 1
+    assert len(straight[0][0]) == 2
+    np.testing.assert_allclose(
+        resumed[0][0][0], straight[0][0][1], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        resumed[0][1], straight[0][1], rtol=1e-6
+    )

@@ -81,22 +81,46 @@ def main() -> None:
             ),
         )
 
-    if mode == "fit":
+    if mode in ("fit", "fitresume"):
         from graphnet_tpu.training.trainer import Trainer
 
-        shard = MaterializedLoader(
-            pack_dir,
-            shuffle=True,
-            seed=5,
-            process_index=pid,
-            process_count=nprocs,
-            to_device=False,
-        )
+        def make_shard():
+            return MaterializedLoader(
+                pack_dir,
+                shuffle=True,
+                seed=5,
+                process_index=pid,
+                process_count=nprocs,
+                to_device=False,
+            )
+
+        shard = make_shard()
         mesh = make_mesh(n_data=len(jax.devices()))
-        trainer = Trainer(
-            build_model(), mesh=mesh, learning_rate=1e-3
-        )
-        history = trainer.fit(shard, max_epochs=2)
+        if mode == "fitresume":
+            # epoch 0 under checkpointing, then a FRESH trainer+loader
+            # resumes to epoch 2 — multi-host preemption recovery
+            ckpt = os.path.join(pack_dir, "ckpt")
+            first = Trainer(
+                build_model(),
+                mesh=mesh,
+                learning_rate=1e-3,
+                checkpoint_dir=ckpt,
+            )
+            first.fit(shard, max_epochs=1)
+            trainer = Trainer(
+                build_model(),
+                mesh=mesh,
+                learning_rate=1e-3,
+                checkpoint_dir=ckpt,
+            )
+            history = trainer.fit(
+                make_shard(), max_epochs=2, resume=True
+            )
+        else:
+            trainer = Trainer(
+                build_model(), mesh=mesh, learning_rate=1e-3
+            )
+            history = trainer.fit(shard, max_epochs=2)
         losses = ",".join(
             f"{v:.8f}" for v in history["train_loss"]
         )

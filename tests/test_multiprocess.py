@@ -526,12 +526,16 @@ def _launch_pair(pack, mode, timeout=540):
     results = {}
     for out in outs:
         m = re.search(
-            r"RESULT pid=(\d+) losses=([-\d.,]+) checksum=([-\d.]+)",
+            r"RESULT pid=(\d+) losses=([-\d.,;]+) checksum=([-\d.]+)",
             out,
         )
         assert m, f"no RESULT line in:\n{out}"
+        parts = m.group(2).split(";")
         results[int(m.group(1))] = (
-            [float(v) for v in m.group(2).split(",")],
+            [float(v) for v in parts[0].split(",")],
+            [float(v) for v in parts[1].split(",")]
+            if len(parts) > 1
+            else [],
             float(m.group(3)),
         )
     assert set(results) == {0, 1}
@@ -560,5 +564,18 @@ def test_two_process_checkpoint_resume(tmp_path):
         resumed[0][0][0], straight[0][0][1], rtol=1e-6
     )
     np.testing.assert_allclose(
-        resumed[0][1], straight[0][1], rtol=1e-6
+        resumed[0][2], straight[0][2], rtol=1e-6
     )
+
+
+def test_two_process_validation_in_lockstep(tmp_path):
+    """Multi-host validation: each host feeds its val shard, the eval
+    loss is a replicated global scalar — identical val history on every
+    process (early stopping can never diverge across hosts)."""
+    pack = str(tmp_path / "pack")
+    _pack_batches(pack)
+    results = _launch_pair(pack, "fitval")
+    assert results[0] == results[1]
+    train, val, _ = results[0]
+    assert len(train) == 2 and len(val) == 2
+    assert all(np.isfinite(v) for v in train + val)

@@ -81,7 +81,7 @@ def main() -> None:
             ),
         )
 
-    if mode in ("fit", "fitresume"):
+    if mode in ("fit", "fitval", "fitresume"):
         from graphnet_tpu.training.trainer import Trainer
 
         def make_shard():
@@ -120,10 +120,19 @@ def main() -> None:
             trainer = Trainer(
                 build_model(), mesh=mesh, learning_rate=1e-3
             )
-            history = trainer.fit(shard, max_epochs=2)
+            # "fitval": validation also runs over a per-process shard —
+            # eval losses are replicated global scalars, so every host
+            # logs the same val_loss and early stopping stays in
+            # lockstep
+            val = make_shard() if mode == "fitval" else None
+            history = trainer.fit(shard, val, max_epochs=2)
         losses = ",".join(
             f"{v:.8f}" for v in history["train_loss"]
         )
+        if history.get("val_loss"):
+            losses += ";" + ",".join(
+                f"{v:.8f}" for v in history["val_loss"]
+            )
         checksum = float(
             sum(
                 float(jnp.sum(jnp.abs(x)))

@@ -278,6 +278,20 @@ class MaterializedLoader:
                     f"no shape group has >= {process_count} batches; "
                     "nothing can be sharded in lockstep"
                 )
+            # no silent caps: per-group lockstep truncation drops
+            # g.n % P batches per group, which can be a large fraction
+            # when small/ragged shape groups dominate
+            dropped = sum(g.n % process_count for g in self._groups)
+            if dropped:
+                from graphnet_tpu.utils.logging import Logger
+
+                Logger(__name__).warning(
+                    f"shape-aligned sharding over {process_count} "
+                    f"processes drops {dropped}/{len(self._index)} "
+                    "batches (per-group remainders); repack with "
+                    "batch counts divisible by process_count to "
+                    "serve everything"
+                )
         self.process_index = process_index
         self.process_count = process_count
 

@@ -35,6 +35,14 @@ class PrefetchingLoader:
     def __len__(self) -> int:
         return len(self.loader)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Forward epoch pinning to the wrapped loader (no-op if the
+        inner loader has no shuffle schedule) — Trainer.fit sees this
+        wrapper, not the loader inside it."""
+        inner = getattr(self.loader, "set_epoch", None)
+        if inner is not None:
+            inner(epoch)
+
     def __iter__(self) -> Iterator:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -103,8 +111,9 @@ class CachingLoader:
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the replay-shuffle schedule to ``epoch`` (see
-        ``MaterializedLoader.set_epoch``); epoch 0 still materialises."""
-        self._epoch = max(1, int(epoch)) if self._cache else 0
+        ``MaterializedLoader.set_epoch``); on a cold cache the epoch is
+        ignored — the first iteration materialises in loader order."""
+        self._epoch = int(epoch) if self._cache is not None else 0
 
     def __len__(self) -> int:
         if self._cache is not None:

@@ -223,17 +223,27 @@ class Trainer(Logger):
 
         def take(x):
             if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B:
-                return jnp.asarray(np.asarray(x)[idx])
+                if isinstance(x, jax.Array):
+                    # device-resident leaf (e.g. CachingLoader HBM
+                    # replay): gather on device — np.asarray here would
+                    # be a D2H readback, which permanently degrades the
+                    # tunneled runtime (CLAUDE.md)
+                    return x[jnp.asarray(idx)]
+                # host leaf: pad in numpy so the downstream multi-host
+                # make_array_from_process_local_data sees host data
+                return np.asarray(x)[idx]
             return x
 
         padded = jax.tree_util.tree_map(take, batch)
+        ew = batch.event_weight
+        xp = jnp if isinstance(ew, jax.Array) else np
         base = (
-            jnp.asarray(batch.event_weight, jnp.float32)
-            if batch.event_weight is not None
-            else jnp.ones((B,), jnp.float32)
+            xp.asarray(ew, xp.float32)
+            if ew is not None
+            else xp.ones((B,), xp.float32)
         )
-        ev = jnp.concatenate(
-            [base * (Bp / B), jnp.zeros((pad,), jnp.float32)]
+        ev = xp.concatenate(
+            [base * (Bp / B), xp.zeros((pad,), xp.float32)]
         )
         return padded.replace(event_weight=ev)
 
@@ -560,7 +570,24 @@ class Trainer(Logger):
             if self.checkpoint_dir
             else None
         )
-        if resume and last_ckpt and os.path.exists(last_ckpt):
+        do_resume = bool(resume and last_ckpt and os.path.exists(last_ckpt))
+        if jax.process_count() > 1 and resume and last_ckpt:
+            # checkpoint files may exist on the primary host only
+            # (orbax's primary-host write): take the resume decision
+            # from process 0 so every process enters the collective
+            # restore/save machinery in lockstep — a per-host
+            # os.path.exists diverges across hosts and deadlocks with a
+            # "sync_global_devices name mismatch".  Restoring still
+            # requires checkpoint_dir on a shared filesystem (every
+            # process reads its addressable shards).
+            from jax.experimental import multihost_utils
+
+            do_resume = bool(
+                multihost_utils.broadcast_one_to_all(
+                    np.int32(do_resume)
+                )
+            )
+        if do_resume:
             example = next(iter(train_loader))
             start_epoch = self.load_train_state(last_ckpt, example) + 1
             self.info(f"resumed from {last_ckpt} at epoch {start_epoch}")
@@ -908,10 +935,18 @@ class Trainer(Logger):
 
         assert self.state is not None
         path = os.path.abspath(path)
+        if self._global_sharded_state():
+            # multi-host sharded (FSDP/TP) state: device_get would
+            # fail on non-addressable arrays — hand orbax the LIVE
+            # global jax.Arrays and each process writes exactly its
+            # addressable shards (orbax's global-array path)
+            grab = lambda t: t  # noqa: E731
+        else:
+            grab = jax.device_get
         ckptr = ocp.StandardCheckpointer()
         payload = {
-            "params": jax.device_get(self.state.params),
-            "opt_state": jax.device_get(self.state.opt_state),
+            "params": grab(self.state.params),
+            "opt_state": grab(self.state.opt_state),
             "meta": {
                 "step": np.asarray(self.state.step),
                 "epoch": np.asarray(epoch),
@@ -922,31 +957,37 @@ class Trainer(Logger):
             # (count 0 = not yet seeded; restore leaves it unseeded)
             seeded = self._avg_params is not None
             payload["avg"] = {
-                "params": jax.device_get(
+                "params": grab(
                     self._avg_params if seeded else self.state.params
                 ),
                 "count": np.asarray(
                     float(self._avg_count) if seeded else 0.0
                 ),
             }
-        if jax.process_count() > 1 and self.param_sharding != "replicated":
-            # device_get above requires fully-addressable (replicated)
-            # state; multi-host sharded-state checkpointing would need
-            # orbax's global-array path
-            raise NotImplementedError(
-                "multi-host checkpointing currently supports "
-                "replicated params only (param_sharding="
-                f"{self.param_sharding!r})"
-            )
         # collective under multi-host: every process calls save (orbax
         # syncs internally; only the primary host writes the arrays)
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 
+    def _global_sharded_state(self) -> bool:
+        """True when the train state spans non-addressable devices —
+        checkpointing must then go through orbax's global-array path."""
+        return (
+            jax.process_count() > 1
+            and self.param_sharding != "replicated"
+        )
+
     def load_train_state(
         self, path: str, example_batch: EventBatch
     ) -> int:
-        """Restore a full snapshot; returns the epoch to resume from."""
+        """Restore a full snapshot; returns the epoch to resume from.
+
+        Multi-host: collective (every process must call it).  For
+        sharded (FSDP/TP) state each process reads exactly its
+        addressable shards into the live sharded layout; for replicated
+        state every process reads the full arrays — either way the
+        checkpoint directory must be on a filesystem all hosts can
+        read."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
@@ -957,11 +998,28 @@ class Trainer(Logger):
             },
             example_batch,
         )
+        opt_t = self.optimizer.init(params_t)
+        presharded = self._global_sharded_state()
+        if presharded:
+            # global-array restore: target leaves are abstract
+            # shape/dtype/sharding skeletons in the final sharded
+            # layout; orbax restores straight into it (no host-side
+            # full copy, no later _replicate)
+            def abstract(tree):
+                return jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        x.shape, x.dtype, sharding=x.sharding
+                    ),
+                    self._replicate(tree),
+                )
+
+            skel_p, skel_o = abstract(params_t), abstract(opt_t)
+        else:
+            skel_p = jax.device_get(params_t)
+            skel_o = jax.device_get(opt_t)
         target = {
-            "params": jax.device_get(params_t),
-            "opt_state": jax.device_get(
-                self.optimizer.init(params_t)
-            ),
+            "params": skel_p,
+            "opt_state": skel_o,
             "meta": {
                 "step": np.asarray(0),
                 "epoch": np.asarray(0),
@@ -973,7 +1031,7 @@ class Trainer(Logger):
         has_avg = self.averaging is not None
         if has_avg:
             target["avg"] = {
-                "params": jax.device_get(params_t),
+                "params": skel_p,
                 "count": np.asarray(0.0),
             }
         ckptr = ocp.StandardCheckpointer()
@@ -986,15 +1044,14 @@ class Trainer(Logger):
                 "optimizer/schedule/clip_grad_norm settings as the run "
                 f"that saved {path!r}."
             ) from e
+        rep = (lambda t: t) if presharded else self._replicate
         self.state = TrainState(
-            params=self._replicate(restored["params"]),
-            opt_state=self._replicate(restored["opt_state"]),
+            params=rep(restored["params"]),
+            opt_state=rep(restored["opt_state"]),
             step=int(restored["meta"]["step"]),
         )
         if has_avg and float(restored["avg"]["count"]) > 0:
-            self._avg_params = self._replicate(
-                restored["avg"]["params"]
-            )
+            self._avg_params = rep(restored["avg"]["params"])
             self._avg_count = int(restored["avg"]["count"])
         return int(restored["meta"]["epoch"])
 

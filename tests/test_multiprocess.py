@@ -26,6 +26,66 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _launch_pair(module: str, *args: str, timeout: int = 540):
+    """Launch 2 coordinated jax.distributed worker processes of
+    ``module`` and return their stdouts (asserting clean exits)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                module,
+                str(pid),
+                "2",
+                str(port),
+                *args,
+            ],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    return outs
+
+
+def _fit_results(pack: str, mode: str):
+    """Run the materialized worker in a fit-family mode; parse
+    (train_losses, val_losses, checksum) per process."""
+    outs = _launch_pair(
+        "tests.tools_multiprocess_materialized", pack, mode
+    )
+    results = {}
+    for out in outs:
+        m = re.search(
+            r"RESULT pid=(\d+) losses=([-\d.,;]+) checksum=([-\d.]+)",
+            out,
+        )
+        assert m, f"no RESULT line in:\n{out}"
+        parts = m.group(2).split(";")
+        results[int(m.group(1))] = (
+            [float(v) for v in parts[0].split(",")],
+            [float(v) for v in parts[1].split(",")]
+            if len(parts) > 1
+            else [],
+            float(m.group(3)),
+        )
+    assert set(results) == {0, 1}
+    return results
+
+
 def _single_process_loss() -> float:
     """Same model/batch/step on the in-test 8-device platform."""
     import jax
@@ -75,35 +135,7 @@ def _single_process_loss() -> float:
 
 
 def test_two_process_dp_step_matches_single_process():
-    port = _free_port()
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)  # worker sets its own device count
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable,
-                "-m",
-                "tests.tools_multiprocess_worker",
-                str(pid),
-                "2",
-                str(port),
-            ],
-            cwd=REPO,
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
-
+    outs = _launch_pair("tests.tools_multiprocess_worker")
     losses = {}
     for out in outs:
         m = re.search(r"RESULT pid=(\d+) loss=([-\d.]+)", out)
@@ -117,9 +149,9 @@ def test_two_process_dp_step_matches_single_process():
     np.testing.assert_allclose(losses[0], ref, rtol=1e-5)
 
 
-def _pack_batches(path):
-    """Four deterministic same-shape batches packed to disk; returns the
-    batches (host numpy) keyed for shard identification."""
+def _pack_batches(path, n=4):
+    """``n`` deterministic same-shape batches packed to disk; returns
+    the batches (host numpy) keyed for shard identification."""
     import jax
 
     from graphnet_tpu.batch import make_batch
@@ -127,7 +159,7 @@ def _pack_batches(path):
 
     rng = np.random.default_rng(3)
     batches = []
-    for i in range(4):
+    for i in range(n):
         events = [
             rng.standard_normal((12 + (i + j) % 5, 4)).astype(
                 np.float32
@@ -212,36 +244,7 @@ def test_two_process_materialized_shards_match_single_process(tmp_path):
     the single-process loss on the same events."""
     pack = str(tmp_path / "pack")
     batches = _pack_batches(pack)
-    port = _free_port()
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable,
-                "-m",
-                "tests.tools_multiprocess_materialized",
-                str(pid),
-                "2",
-                str(port),
-                pack,
-            ],
-            cwd=REPO,
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
-
+    outs = _launch_pair("tests.tools_multiprocess_materialized", pack)
     results = {}
     for out in outs:
         m = re.search(
@@ -275,52 +278,9 @@ def test_two_process_trainer_fit_over_materialized_shards(tmp_path):
     mesh run over the equivalent global batch stream."""
     pack = str(tmp_path / "pack")
     _pack_batches(pack)
-    port = _free_port()
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable,
-                "-m",
-                "tests.tools_multiprocess_materialized",
-                str(pid),
-                "2",
-                str(port),
-                pack,
-                "fit",
-            ],
-            cwd=REPO,
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
-
-    results = {}
-    for out in outs:
-        m = re.search(
-            r"RESULT pid=(\d+) losses=([-\d.,]+) checksum=([-\d.]+)",
-            out,
-        )
-        assert m, f"no RESULT line in:\n{out}"
-        results[int(m.group(1))] = (
-            [float(v) for v in m.group(2).split(",")],
-            float(m.group(3)),
-        )
-    assert set(results) == {0, 1}
+    results = _fit_results(pack, "fit")
     # identical loss history and final params on both processes
-    assert results[0][0] == results[1][0], results
-    assert results[0][1] == results[1][1], results
+    assert results[0] == results[1], results
     assert len(results[0][0]) == 2
     assert all(np.isfinite(v) for v in results[0][0])
 
@@ -402,36 +362,9 @@ def test_two_process_predict_returns_local_rows(tmp_path):
     batches."""
     pack = str(tmp_path / "pack")
     _pack_batches(pack)
-    port = _free_port()
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable,
-                "-m",
-                "tests.tools_multiprocess_materialized",
-                str(pid),
-                "2",
-                str(port),
-                pack,
-                "predict",
-            ],
-            cwd=REPO,
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
+    outs = _launch_pair(
+        "tests.tools_multiprocess_materialized", pack, "predict"
+    )
     results = {}
     for out in outs:
         m = re.search(
@@ -492,72 +425,53 @@ def test_two_process_predict_returns_local_rows(tmp_path):
         )
 
 
-def _launch_pair(pack, mode, timeout=540):
-    port = _free_port()
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable,
-                "-m",
-                "tests.tools_multiprocess_materialized",
-                str(pid),
-                "2",
-                str(port),
-                pack,
-                mode,
-            ],
-            cwd=REPO,
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
-    results = {}
-    for out in outs:
-        m = re.search(
-            r"RESULT pid=(\d+) losses=([-\d.,;]+) checksum=([-\d.]+)",
-            out,
-        )
-        assert m, f"no RESULT line in:\n{out}"
-        parts = m.group(2).split(";")
-        results[int(m.group(1))] = (
-            [float(v) for v in parts[0].split(",")],
-            [float(v) for v in parts[1].split(",")]
-            if len(parts) > 1
-            else [],
-            float(m.group(3)),
-        )
-    assert set(results) == {0, 1}
-    return results
-
-
 def test_two_process_checkpoint_resume(tmp_path):
-    """Multi-host preemption recovery: process-0-only orbax snapshot +
-    cross-host barrier, fresh trainers+loaders resume at epoch 1, and
-    (set_epoch) the resumed epoch replays the exact uninterrupted batch
-    order — identical epoch-1 loss and final params."""
+    """Multi-host preemption recovery: collective orbax snapshot (every
+    process calls save — a process-0-only save deadlocks on
+    sync_global_devices, see CLAUDE.md), a simulated kill right after
+    the epoch-0 checkpoint, fresh trainers+loaders resume at epoch 1,
+    and (set_epoch) the resumed epoch replays the exact uninterrupted
+    batch order — identical epoch-1 loss and final params.  6 batches
+    (3 steps/epoch/shard) so the default LR schedule's s/2 knot falls
+    strictly inside the epoch — a schedule mismatch between the two
+    runs cannot cancel out."""
     pack_a = str(tmp_path / "pack_a")
-    _pack_batches(pack_a)
-    straight = _launch_pair(pack_a, "fit")
+    _pack_batches(pack_a, n=6)
+    straight = _fit_results(pack_a, "fit")
     pack_b = str(tmp_path / "pack_b")
-    _pack_batches(pack_b)
-    resumed = _launch_pair(pack_b, "fitresume")
+    _pack_batches(pack_b, n=6)
+    resumed = _fit_results(pack_b, "fitresume")
 
     # cross-process identity in both runs
     assert straight[0] == straight[1]
     assert resumed[0] == resumed[1]
     # resumed history = [epoch-1 loss] only (epoch 0 ran pre-"preemption")
+    assert len(resumed[0][0]) == 1
+    assert len(straight[0][0]) == 2
+    np.testing.assert_allclose(
+        resumed[0][0][0], straight[0][0][1], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        resumed[0][2], straight[0][2], rtol=1e-6
+    )
+
+
+def test_two_process_fsdp_checkpoint_resume(tmp_path):
+    """Multi-host SHARDED-state checkpointing (orbax global-array
+    path): params/opt-state are FSDP-sharded over the global data axis
+    — save writes each process's addressable shards, restore reads them
+    straight back into the sharded layout.  Same preempt-at-epoch-0 /
+    resume-to-epoch-2 protocol as the replicated test; resumed run must
+    match the uninterrupted one exactly."""
+    pack_a = str(tmp_path / "pack_a")
+    _pack_batches(pack_a, n=6)
+    straight = _fit_results(pack_a, "fit_fsdp")
+    pack_b = str(tmp_path / "pack_b")
+    _pack_batches(pack_b, n=6)
+    resumed = _fit_results(pack_b, "fitresume_fsdp")
+
+    assert straight[0] == straight[1]
+    assert resumed[0] == resumed[1]
     assert len(resumed[0][0]) == 1
     assert len(straight[0][0]) == 2
     np.testing.assert_allclose(
@@ -574,7 +488,7 @@ def test_two_process_validation_in_lockstep(tmp_path):
     process (early stopping can never diverge across hosts)."""
     pack = str(tmp_path / "pack")
     _pack_batches(pack)
-    results = _launch_pair(pack, "fitval")
+    results = _fit_results(pack, "fitval")
     assert results[0] == results[1]
     train, val, _ = results[0]
     assert len(train) == 2 and len(val) == 2

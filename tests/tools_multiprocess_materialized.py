@@ -81,6 +81,14 @@ def main() -> None:
             ),
         )
 
+    # "_fsdp" suffix: params/opt-state sharded over the global data
+    # axis — exercises multi-host sharded-state checkpointing (orbax
+    # global-array save/restore) and FSDP training across processes
+    sharding = "replicated"
+    if mode.endswith("_fsdp"):
+        sharding = "fsdp"
+        mode = mode[: -len("_fsdp")]
+
     if mode in ("fit", "fitval", "fitresume"):
         from graphnet_tpu.training.trainer import Trainer
 
@@ -97,28 +105,53 @@ def main() -> None:
         shard = make_shard()
         mesh = make_mesh(n_data=len(jax.devices()))
         if mode == "fitresume":
-            # epoch 0 under checkpointing, then a FRESH trainer+loader
-            # resumes to epoch 2 — multi-host preemption recovery
+            # epoch 0 under checkpointing with the SAME max_epochs as
+            # the uninterrupted run (the default LR schedule depends on
+            # max_epochs), "preempted" right after the epoch-0 snapshot
+            # is written; then a FRESH trainer+loader resumes to epoch
+            # 2 — multi-host preemption recovery
             ckpt = os.path.join(pack_dir, "ckpt")
+
+            class _Preempt(Exception):
+                pass
+
+            class _PreemptAfterEpochEnd:
+                # epoch-end metrics carry events_per_s; raising there
+                # kills the run between the checkpoint save and the
+                # next epoch, like a real preemption
+                def log(self, metrics, step=None):
+                    if "events_per_s" in metrics:
+                        raise _Preempt()
+
             first = Trainer(
                 build_model(),
                 mesh=mesh,
                 learning_rate=1e-3,
                 checkpoint_dir=ckpt,
+                param_sharding=sharding,
+                metric_logger=_PreemptAfterEpochEnd(),
             )
-            first.fit(shard, max_epochs=1)
+            try:
+                first.fit(shard, max_epochs=2)
+                raise AssertionError("preemption never fired")
+            except _Preempt:
+                pass
             trainer = Trainer(
                 build_model(),
                 mesh=mesh,
                 learning_rate=1e-3,
                 checkpoint_dir=ckpt,
+                param_sharding=sharding,
             )
             history = trainer.fit(
                 make_shard(), max_epochs=2, resume=True
             )
         else:
             trainer = Trainer(
-                build_model(), mesh=mesh, learning_rate=1e-3
+                build_model(),
+                mesh=mesh,
+                learning_rate=1e-3,
+                param_sharding=sharding,
             )
             # "fitval": validation also runs over a per-process shard —
             # eval losses are replicated global scalars, so every host

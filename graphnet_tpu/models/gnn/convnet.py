@@ -67,6 +67,12 @@ class ConvNet(GNN):
     nb_intermediate: int = 128
     dropout_ratio: float = 0.3
     deterministic: bool = True
+    # Use stored statistics (``bn_mean``/``bn_var`` params) instead of batch
+    # statistics — the torch eval-mode semantics of ``batchnorm1``
+    # (reference ``gnn/convnet.py:49,102``).  Enabled on models ported from
+    # trained reference checkpoints (utils/weight_port.py), whose running
+    # averages are filled into the params.
+    frozen_batchnorm: bool = False
 
     @property
     def nb_outputs(self) -> int:
@@ -101,10 +107,19 @@ class ConvNet(GNN):
             )
 
         z = jnp.concatenate(pools, axis=1)
-        # BatchNorm over the event dimension (reference batchnorm1);
-        # batch statistics are used in both modes (no running averages)
-        mean = jnp.mean(z, axis=0, keepdims=True)
-        var = jnp.var(z, axis=0, keepdims=True)
+        # BatchNorm over the event dimension (reference batchnorm1); batch
+        # statistics by default (no running averages), frozen stored
+        # statistics when ``frozen_batchnorm`` (ported checkpoints)
+        if self.frozen_batchnorm:
+            mean = jax.lax.stop_gradient(
+                self.param("bn_mean", nn.initializers.zeros, (inter2,))
+            )[None, :]
+            var = jax.lax.stop_gradient(
+                self.param("bn_var", nn.initializers.ones, (inter2,))
+            )[None, :]
+        else:
+            mean = jnp.mean(z, axis=0, keepdims=True)
+            var = jnp.var(z, axis=0, keepdims=True)
         scale = self.param(
             "bn_scale", nn.initializers.ones, (inter2,)
         )

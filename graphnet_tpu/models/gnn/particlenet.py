@@ -28,18 +28,34 @@ from graphnet_tpu.ops import (
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm with statistics over valid (masked) elements only."""
+    """BatchNorm with statistics over valid (masked) elements only.
+
+    With ``frozen=True`` the statistics come from stored ``mean``/``var``
+    params instead — torch's eval-mode ``BatchNorm1d`` semantics, used for
+    checkpoints ported from the reference (utils/weight_port.py fills the
+    running averages).
+    """
+
+    frozen: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
         D = x.shape[-1]
-        m = mask[..., None].astype(x.dtype)
-        n = jnp.maximum(jnp.sum(m), 1.0)
-        mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / n
-        var = (
-            jnp.sum((x - mean) ** 2 * m, axis=tuple(range(x.ndim - 1)))
-            / n
-        )
+        if self.frozen:
+            mean = jax.lax.stop_gradient(
+                self.param("mean", nn.initializers.zeros, (D,))
+            )
+            var = jax.lax.stop_gradient(
+                self.param("var", nn.initializers.ones, (D,))
+            )
+        else:
+            m = mask[..., None].astype(x.dtype)
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / n
+            var = (
+                jnp.sum((x - mean) ** 2 * m, axis=tuple(range(x.ndim - 1)))
+                / n
+            )
         scale = self.param("scale", nn.initializers.ones, (D,))
         bias = self.param("bias", nn.initializers.zeros, (D,))
         return (x - mean) / jnp.sqrt(var + 1e-5) * scale + bias
@@ -53,6 +69,7 @@ class ParticleNeTConv(nn.Module):
     aggr: str = "mean"
     activation: str = "relu"
     add_batchnorm: bool = True
+    frozen_batchnorm: bool = False
 
     @nn.compact
     def __call__(self, x, idx, edge_mask):
@@ -70,7 +87,9 @@ class ParticleNeTConv(nn.Module):
             if i > 0:
                 h = nn.Dense(size, name=f"dense_{i}")(h)
             if self.add_batchnorm:
-                h = MaskedBatchNorm(name=f"bn_{i}")(h, edge_mask)
+                h = MaskedBatchNorm(
+                    frozen=self.frozen_batchnorm, name=f"bn_{i}"
+                )(h, edge_mask)
             h = act(h)
         return edge_reduce(h, edge_mask, self.aggr)
 
@@ -92,6 +111,9 @@ class ParticleNeT(GNN):
     dropout_readout: float = 0.1
     skip_readout: bool = False
     deterministic: bool = True
+    # torch eval-mode BatchNorm (stored running statistics) — set on models
+    # ported from trained reference checkpoints (utils/weight_port.py)
+    frozen_batchnorm: bool = False
 
     @property
     def nb_outputs(self) -> int:
@@ -115,6 +137,7 @@ class ParticleNeT(GNN):
                 aggr="mean",
                 activation=self.activation_layer,
                 add_batchnorm=self.add_batchnorm_layer,
+                frozen_batchnorm=self.frozen_batchnorm,
                 name=f"conv_{i}",
             )(x, idx, edge_mask)
             if self.dynamic:

@@ -80,8 +80,14 @@ def port_dynedge_state_dict(
         return sd[key]
 
     _port_dynedge_backbone(sd, take, "backbone", root["backbone"])
+    _port_tasks(sd, take, root)
+    _check_unused(sd, used)
+    return params
 
-    # --- task heads ------------------------------------------------------
+
+def _port_tasks(sd, take, root) -> None:
+    """Reference task heads (``_tasks.{t}._affine``, ``task/task.py:251``)
+    → our ``tasks_{t}/affine``."""
     task_ids = sorted(
         {
             int(m.group(1))
@@ -90,12 +96,13 @@ def port_dynedge_state_dict(
         }
     )
     for t in task_ids:
-        w = sd[f"_tasks.{t}._affine.weight"]
-        b = sd[f"_tasks.{t}._affine.bias"]
-        used |= {f"_tasks.{t}._affine.weight", f"_tasks.{t}._affine.bias"}
+        w = take(f"_tasks.{t}._affine.weight")
+        b = take(f"_tasks.{t}._affine.bias")
         _fill(root[f"tasks_{t}"]["affine"], "kernel", w.T)
         _fill(root[f"tasks_{t}"]["affine"], "bias", b)
 
+
+def _check_unused(sd, used) -> None:
     unused_params = [
         k
         for k in sd
@@ -109,6 +116,199 @@ def port_dynedge_state_dict(
         raise ValueError(
             f"unported parameter keys in state_dict: {unused_params}"
         )
+
+
+def port_jinst_state_dict(
+    state_dict: Dict[str, Any],
+    template: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Map a reference DynEdgeJINST-StandardModel state_dict
+    (``gnn/dynedge_jinst.py:50-103``: ``conv_add{1..4}.nn.{0,2}`` 2-layer
+    LeakyReLU MLPs, post-processing Linears ``nn1``/``nn2``/``nn3``) onto
+    our flax tree, linearising each first EdgeConv layer exactly as
+    :func:`port_dynedge_state_dict` does."""
+    sd = _normalise_keys(state_dict)
+    params = _copy_tree(template)
+    root = params["params"] if "params" in params else params
+    used: set = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    bb = root["backbone"]
+    for i in (1, 2, 3, 4):
+        prefix = f"backbone.conv_add{i}.nn"
+        lin_ids, _ = _sequential_positions(sd, prefix)
+        assert len(lin_ids) == 2, f"expected 2 linears under {prefix}"
+        conv = bb[f"conv_add{i}"]["conv"]
+        w = take(f"{prefix}.{lin_ids[0]}.weight")
+        b = take(f"{prefix}.{lin_ids[0]}.bias")
+        d_in = w.shape[1] // 2
+        w1, w2 = w[:, :d_in], w[:, d_in:]
+        _fill(conv["self_dense"], "kernel", (w1 - w2).T)
+        _fill(conv["self_dense"], "bias", b)
+        _fill(conv["nbr_dense"], "kernel", w2.T)
+        _fill(conv, "out_kernel", take(f"{prefix}.{lin_ids[1]}.weight").T)
+        _fill(conv, "out_bias", take(f"{prefix}.{lin_ids[1]}.bias"))
+
+    for name in ("nn1", "nn2", "nn3"):
+        _fill(bb[name], "kernel", take(f"backbone.{name}.weight").T)
+        _fill(bb[name], "bias", take(f"backbone.{name}.bias"))
+
+    _port_tasks(sd, take, root)
+    _check_unused(sd, used)
+    return params
+
+
+def port_convnet_state_dict(
+    state_dict: Dict[str, Any],
+    template: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Map a reference ConvNet-StandardModel state_dict
+    (``gnn/convnet.py:44-63``: 3× PyG ``TAGConv`` with per-hop ``lins``,
+    ``batchnorm1``, ``linear{1..5}``, ``out``) onto our flax tree.
+
+    TAGConv biases: ``Σ_h (W_h x_h + b_h) = Σ_h W_h x_h + Σ_h b_h``, so
+    every torch bias (per-hop ``lins.{h}.bias`` and/or a single module
+    ``bias``, depending on the PyG version) is summed into our ``lin_0``
+    bias — the only hop that carries one.
+
+    ``batchnorm1`` running averages are filled into ``bn_mean``/``bn_var``
+    when the template has them — i.e. when it came from
+    ``ConvNet(frozen_batchnorm=True)``, the torch eval-mode semantics.
+    """
+    sd = _normalise_keys(state_dict)
+    params = _copy_tree(template)
+    root = params["params"] if "params" in params else params
+    used: set = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    bb = root["backbone"]
+    for i in (1, 2, 3):
+        prefix = f"backbone.conv{i}"
+        hop_ids = sorted(
+            int(m.group(1))
+            for k in sd
+            if (
+                m := re.match(
+                    rf"{re.escape(prefix)}\.lins\.(\d+)\.weight$", k
+                )
+            )
+        )
+        assert hop_ids, f"no TAGConv `lins` under {prefix}"
+        conv = bb[f"conv{i}"]
+        total_bias = None
+        for h in hop_ids:
+            _fill(
+                conv[f"lin_{h}"],
+                "kernel",
+                take(f"{prefix}.lins.{h}.weight").T,
+            )
+            bk = f"{prefix}.lins.{h}.bias"
+            if bk in sd:
+                b = take(bk)
+                total_bias = b if total_bias is None else total_bias + b
+        if f"{prefix}.bias" in sd:  # single-bias PyG layout
+            b = take(f"{prefix}.bias")
+            total_bias = b if total_bias is None else total_bias + b
+        if total_bias is None:
+            total_bias = np.zeros(
+                np.shape(conv["lin_0"]["bias"]), np.float32
+            )
+        _fill(conv["lin_0"], "bias", total_bias)
+
+    _fill(bb, "bn_scale", take("backbone.batchnorm1.weight"))
+    _fill(bb, "bn_bias", take("backbone.batchnorm1.bias"))
+    if "bn_mean" in bb:
+        _fill(bb, "bn_mean", take("backbone.batchnorm1.running_mean"))
+        _fill(bb, "bn_var", take("backbone.batchnorm1.running_var"))
+
+    for name in ("linear1", "linear2", "linear3", "linear4", "linear5", "out"):
+        _fill(bb[name], "kernel", take(f"backbone.{name}.weight").T)
+        _fill(bb[name], "bias", take(f"backbone.{name}.bias"))
+
+    _port_tasks(sd, take, root)
+    _check_unused(sd, used)
+    return params
+
+
+def port_particlenet_state_dict(
+    state_dict: Dict[str, Any],
+    template: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Map a reference ParticleNeT-StandardModel state_dict
+    (``gnn/particlenet.py:176-222``: ``_conv_layers.{i}.nn`` =
+    ``[Linear, BatchNorm1d, act]*n`` Sequentials, ``_readout`` =
+    ``[Linear, act, Dropout]*m``) onto our flax tree.
+
+    First conv layers are linearised (self/neighbour split, see
+    :func:`port_dynedge_state_dict`); BatchNorm running averages fill the
+    frozen ``mean``/``var`` params when the template came from
+    ``ParticleNeT(frozen_batchnorm=True)``."""
+    sd = _normalise_keys(state_dict)
+    params = _copy_tree(template)
+    root = params["params"] if "params" in params else params
+    used: set = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    bb = root["backbone"]
+    conv_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"backbone\._conv_layers\.(\d+)\.", k))
+        }
+    )
+    assert conv_ids, "no `backbone._conv_layers.*` keys found"
+    for i in conv_ids:
+        prefix = f"backbone._conv_layers.{i}.nn"
+        lin_ids, bn_ids = _sequential_positions(sd, prefix)
+        assert lin_ids, f"no linear layers under {prefix}"
+        conv = bb[f"conv_{i}"]
+        w = take(f"{prefix}.{lin_ids[0]}.weight")
+        b = take(f"{prefix}.{lin_ids[0]}.bias")
+        d_in = w.shape[1] // 2
+        w1, w2 = w[:, :d_in], w[:, d_in:]
+        _fill(conv["self_dense"], "kernel", (w1 - w2).T)
+        _fill(conv["self_dense"], "bias", b)
+        _fill(conv["nbr_dense"], "kernel", w2.T)
+        for j, lid in enumerate(lin_ids[1:], start=1):
+            _fill(
+                conv[f"dense_{j}"],
+                "kernel",
+                take(f"{prefix}.{lid}.weight").T,
+            )
+            _fill(conv[f"dense_{j}"], "bias", take(f"{prefix}.{lid}.bias"))
+        for j, nid in enumerate(bn_ids):
+            bn = conv[f"bn_{j}"]
+            _fill(bn, "scale", take(f"{prefix}.{nid}.weight"))
+            _fill(bn, "bias", take(f"{prefix}.{nid}.bias"))
+            if "mean" in bn:
+                _fill(bn, "mean", take(f"{prefix}.{nid}.running_mean"))
+                _fill(bn, "var", take(f"{prefix}.{nid}.running_var"))
+
+    readout_ids, _ = _sequential_positions(sd, "backbone._readout")
+    for j, lid in enumerate(readout_ids):
+        _fill(
+            bb[f"readout_{j}"],
+            "kernel",
+            take(f"backbone._readout.{lid}.weight").T,
+        )
+        _fill(
+            bb[f"readout_{j}"],
+            "bias",
+            take(f"backbone._readout.{lid}.bias"),
+        )
+
+    _port_tasks(sd, take, root)
+    _check_unused(sd, used)
     return params
 
 
@@ -350,6 +550,12 @@ def _build_component(cfg: Dict[str, Any]) -> Any:
         known = {f.name for f in dataclasses.fields(cls)}
     else:
         known = set(inspect.signature(cls.__init__).parameters)
+    # flax reserves `nb_outputs` as a property on some backbones; the
+    # constructor argument is `nb_outputs_` (e.g. ConvNet)
+    if "nb_outputs" in args and "nb_outputs" not in known and (
+        "nb_outputs_" in known
+    ):
+        args["nb_outputs_"] = args.pop("nb_outputs")
     dropped = {k for k in args if k not in known}
     args = {
         k: v for k, v in args.items() if k in known and v is not None
@@ -445,12 +651,26 @@ def port_reference_model(
         rng.standard_normal((example_n_pulses, d)).astype(np.float32)
         for _ in range(2)
     ]
-    template = model.init(jax.random.PRNGKey(0), make_batch(events))
     backbone_cls = type(model.backbone).__name__
+    if backbone_cls in ("ConvNet", "ParticleNeT") and getattr(
+        model.backbone, "add_batchnorm_layer", True
+    ):
+        # trained torch checkpoints carry BatchNorm running averages;
+        # serve them with eval-mode (frozen) statistics
+        model = model.clone(
+            backbone=model.backbone.clone(frozen_batchnorm=True)
+        )
+    template = model.init(jax.random.PRNGKey(0), make_batch(events))
     if backbone_cls == "DynEdgeTITO":
         params = port_tito_state_dict(state_dict, template)
     elif backbone_cls == "DeepIce":
         params = port_deepice_state_dict(state_dict, template)
+    elif backbone_cls == "DynEdgeJINST":
+        params = port_jinst_state_dict(state_dict, template)
+    elif backbone_cls == "ConvNet":
+        params = port_convnet_state_dict(state_dict, template)
+    elif backbone_cls == "ParticleNeT":
+        params = port_particlenet_state_dict(state_dict, template)
     else:
         params = port_dynedge_state_dict(state_dict, template)
     return model, graph_definition, params

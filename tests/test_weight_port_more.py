@@ -1,0 +1,420 @@
+"""Torch→flax weight porting for the remaining GNN backbones:
+DynEdgeJINST, ConvNet, ParticleNeT.
+
+Same golden-activation methodology as ``test_weight_port.py``: build a
+torch model with the reference's exact state_dict key layout
+(``gnn/dynedge_jinst.py:50-103``, ``gnn/convnet.py:44-63``,
+``gnn/particlenet.py:176-222``) and reference forward semantics in pure
+torch (no PyG), port the weights, assert end-to-end activations match.
+BatchNorm-bearing models are compared in torch eval mode against our
+``frozen_batchnorm=True`` variants (running statistics ported).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+
+from graphnet_tpu.batch import make_batch
+from graphnet_tpu.models.standard_model import StandardModel
+from graphnet_tpu.models.task.task import IdentityTask
+from graphnet_tpu.training.loss_functions import LogCoshLoss
+from graphnet_tpu.utils.weight_port import (
+    port_convnet_state_dict,
+    port_jinst_state_dict,
+    port_particlenet_state_dict,
+)
+
+B, L, D, K = 3, 24, 4, 8
+
+
+def _knn(h):
+    """Brute-force kNN on the first 3 feature columns (float64 distances:
+    rules out tie-flips between the torch and jax implementations)."""
+    d2 = torch.cdist(h[..., :3].double(), h[..., :3].double()) ** 2
+    d2 += torch.eye(h.shape[1], dtype=torch.float64)[None] * 1e12
+    return d2.topk(K, largest=False).indices
+
+
+def _gather(h, idx):
+    Bq, Lq, d = h.shape
+    return torch.gather(
+        h[:, :, None, :].expand(Bq, Lq, K, d),
+        1,
+        idx[..., None].expand(Bq, Lq, K, d),
+    )
+
+
+def _task(nb_in):
+    return IdentityTask(
+        nb_outputs=1,
+        loss_function=LogCoshLoss(),
+        target_labels=("total_energy",),
+    )
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((B, L, D)).astype(np.float32) * 2.0
+
+
+class TestPortJINST:
+    """layer_size_scale=1: l2=32, l3=64, l4=84, l5=64, l6=32."""
+
+    C = 1
+
+    def _torch_model(self, seed=0):
+        torch.manual_seed(seed)
+        c = self.C
+        l1, l2, l3, l4, l5, l6 = D, c * 32, c * 64, c * 84, c * 64, c * 32
+
+        class ConvSim(torch.nn.Module):
+            def __init__(self, d_in, h1, h2):
+                super().__init__()
+                self.nn = torch.nn.Sequential(
+                    torch.nn.Linear(d_in * 2, h1),
+                    torch.nn.LeakyReLU(),
+                    torch.nn.Linear(h1, h2),
+                    torch.nn.LeakyReLU(),
+                )
+
+        class BackboneSim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_add1 = ConvSim(l1, l2, l3)
+                self.conv_add2 = ConvSim(l3, l4, l3)
+                self.conv_add3 = ConvSim(l3, l4, l3)
+                self.conv_add4 = ConvSim(l3, l4, l3)
+                self.nn1 = torch.nn.Linear(l3 * 4 + l1, l4)
+                self.nn2 = torch.nn.Linear(l4, l5)
+                self.nn3 = torch.nn.Linear(4 * l5 + 5, l6)
+
+        class TaskSim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self._affine = torch.nn.Linear(l6, 1)
+
+        class ModelSim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.backbone = BackboneSim()
+                self._tasks = torch.nn.ModuleList([TaskSim()])
+
+        return ModelSim()
+
+    def _torch_forward(self, model, x):
+        # reference forward `dynedge_jinst.py:105-152`; homophily of
+        # continuous features is exactly 0
+        idx = _knn(x)
+        h, skips = x, [x]
+        for conv in (
+            model.backbone.conv_add1,
+            model.backbone.conv_add2,
+            model.backbone.conv_add3,
+            model.backbone.conv_add4,
+        ):
+            xj = _gather(h, idx)
+            xi = h[:, :, None, :].expand_as(xj)
+            h = conv.nn(torch.cat([xi, xj - xi], dim=-1)).sum(2)
+            idx = _knn(h)
+            skips.append(h)
+        z = torch.cat(skips, dim=-1)
+        z = torch.nn.functional.leaky_relu(model.backbone.nn1(z))
+        z = model.backbone.nn2(z)
+        pooled = torch.cat(
+            [
+                z.max(1).values,
+                z.min(1).values,
+                z.sum(1),
+                z.mean(1),
+                torch.zeros(B, 4),
+                torch.full((B, 1), float(L)),
+            ],
+            dim=1,
+        )
+        out = torch.nn.functional.leaky_relu(pooled)
+        out = torch.nn.functional.leaky_relu(model.backbone.nn3(out))
+        return model._tasks[0]._affine(out)
+
+    def test_golden_activations(self):
+        from graphnet_tpu.models.gnn.dynedge_jinst import DynEdgeJINST
+
+        tmodel = self._torch_model()
+        xs = _inputs(3)
+        with torch.no_grad():
+            ref = self._torch_forward(tmodel, torch.from_numpy(xs))
+
+        model = StandardModel(
+            backbone=DynEdgeJINST(nb_inputs=D, layer_size_scale=self.C),
+            tasks=(_task(32),),
+        )
+        batch = make_batch([xs[i] for i in range(B)], length=L)
+        template = model.init(jax.random.PRNGKey(0), batch)
+        params = port_jinst_state_dict(tmodel.state_dict(), template)
+        (pred, _), = model.apply(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(pred), ref.numpy(), rtol=5e-3, atol=5e-3
+        )
+
+
+class TestPortConvNet:
+    NI = 8  # nb_intermediate
+    NO = 6  # backbone nb_outputs
+
+    def _torch_model(self, seed=0):
+        torch.manual_seed(seed)
+        ni, inter2 = self.NI, 6 * self.NI
+
+        class TAGConvSim(torch.nn.Module):
+            # PyG TAGConv layout: per-hop `lins` (K+1 Linears)
+            def __init__(self, din, dout, hops=2):
+                super().__init__()
+                self.lins = torch.nn.ModuleList(
+                    [torch.nn.Linear(din, dout) for _ in range(hops + 1)]
+                )
+
+        class BackboneSim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = TAGConvSim(D, ni)
+                self.conv2 = TAGConvSim(ni, ni)
+                self.conv3 = TAGConvSim(ni, ni)
+                self.batchnorm1 = torch.nn.BatchNorm1d(inter2)
+                for j in range(1, 6):
+                    setattr(
+                        self, f"linear{j}", torch.nn.Linear(inter2, inter2)
+                    )
+                self.out = torch.nn.Linear(inter2, TestPortConvNet.NO)
+
+        class TaskSim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self._affine = torch.nn.Linear(TestPortConvNet.NO, 1)
+
+        class ModelSim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.backbone = BackboneSim()
+                self._tasks = torch.nn.ModuleList([TaskSim()])
+
+        model = ModelSim()
+        # non-trivial running statistics (a trained model's would be)
+        g = torch.Generator().manual_seed(seed + 1)
+        model.backbone.batchnorm1.running_mean = torch.randn(
+            inter2, generator=g
+        )
+        model.backbone.batchnorm1.running_var = (
+            torch.rand(inter2, generator=g) + 0.5
+        )
+        return model.eval()
+
+    def _torch_forward(self, model, x):
+        # reference forward `convnet.py:65-118` with TAGConv's gcn_norm
+        # (no self-loops) as a dense normalised adjacency
+        idx = _knn(x)
+        A = torch.zeros(B, L, L)
+        A.scatter_(2, idx, 1.0)
+        deg = A.sum(-1)
+        dis = torch.where(
+            deg > 0, deg.clamp(min=1e-12).rsqrt(), torch.zeros(())
+        )
+        An = A * dis[:, :, None] * dis[:, None, :]
+
+        h, pools = x, []
+        for conv in (
+            model.backbone.conv1,
+            model.backbone.conv2,
+            model.backbone.conv3,
+        ):
+            out, hh = conv.lins[0](h), h
+            for hop in range(1, len(conv.lins)):
+                hh = An @ hh
+                out = out + conv.lins[hop](hh)
+            h = torch.nn.functional.leaky_relu(out)
+            pools.append(torch.cat([h.sum(1), h.max(1).values], dim=1))
+        z = model.backbone.batchnorm1(torch.cat(pools, dim=1))
+        for j in range(1, 6):
+            z = torch.nn.functional.leaky_relu(
+                getattr(model.backbone, f"linear{j}")(z)
+            )
+        out = model.backbone.out(z)
+        return model._tasks[0]._affine(out)
+
+    def test_golden_activations(self):
+        from graphnet_tpu.models.gnn.convnet import ConvNet
+
+        tmodel = self._torch_model()
+        xs = _inputs(4)
+        with torch.no_grad():
+            ref = self._torch_forward(tmodel, torch.from_numpy(xs))
+
+        model = StandardModel(
+            backbone=ConvNet(
+                nb_inputs=D,
+                nb_outputs_=self.NO,
+                nb_intermediate=self.NI,
+                frozen_batchnorm=True,
+            ),
+            tasks=(_task(self.NO),),
+        )
+        batch = make_batch([xs[i] for i in range(B)], length=L)
+        template = model.init(jax.random.PRNGKey(0), batch)
+        params = port_convnet_state_dict(tmodel.state_dict(), template)
+        (pred, _), = model.apply(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(pred), ref.numpy(), rtol=5e-3, atol=5e-3
+        )
+
+    def test_single_bias_layout(self):
+        """Older PyG TAGConv layout: bias-free `lins` + one module-level
+        `bias` parameter — must port identically (bias sum)."""
+        from graphnet_tpu.models.gnn.convnet import ConvNet
+
+        tmodel = self._torch_model(seed=7)
+        sd = {}
+        for k, v in tmodel.state_dict().items():
+            m = None
+            import re
+
+            m = re.match(r"(backbone\.conv\d)\.lins\.(\d+)\.bias$", k)
+            if m:
+                root = m.group(1)
+                sd.setdefault(f"{root}.bias", torch.zeros_like(v))
+                sd[f"{root}.bias"] = sd[f"{root}.bias"] + v
+            else:
+                sd[k] = v
+
+        xs = _inputs(5)
+        with torch.no_grad():
+            ref = self._torch_forward(tmodel, torch.from_numpy(xs))
+        model = StandardModel(
+            backbone=ConvNet(
+                nb_inputs=D,
+                nb_outputs_=self.NO,
+                nb_intermediate=self.NI,
+                frozen_batchnorm=True,
+            ),
+            tasks=(_task(self.NO),),
+        )
+        batch = make_batch([xs[i] for i in range(B)], length=L)
+        template = model.init(jax.random.PRNGKey(0), batch)
+        params = port_convnet_state_dict(sd, template)
+        (pred, _), = model.apply(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(pred), ref.numpy(), rtol=5e-3, atol=5e-3
+        )
+
+
+class TestPortParticleNeT:
+    SIZES = ((8, 8), (16, 16))
+    READOUT = (12,)
+
+    def _torch_model(self, seed=0):
+        torch.manual_seed(seed)
+
+        class ConvSim(torch.nn.Module):
+            def __init__(self, d_in, sizes):
+                super().__init__()
+                layers, prev = [], d_in
+                for ix, s in enumerate(sizes):
+                    nb_in = prev * 2 if ix == 0 else prev
+                    layers += [
+                        torch.nn.Linear(nb_in, s),
+                        torch.nn.BatchNorm1d(s),
+                        torch.nn.ReLU(),
+                    ]
+                    prev = s
+                self.nn = torch.nn.Sequential(*layers)
+
+        class BackboneSim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self._conv_layers = torch.nn.ModuleList()
+                d = D
+                for sizes in TestPortParticleNeT.SIZES:
+                    self._conv_layers.append(ConvSim(d, sizes))
+                    d = sizes[-1]
+                layers, prev = [], d  # 1 pooling scheme ("mean")
+                for s in TestPortParticleNeT.READOUT:
+                    layers += [
+                        torch.nn.Linear(prev, s),
+                        torch.nn.ReLU(),
+                        torch.nn.Dropout(0.1),
+                    ]
+                    prev = s
+                self._readout = torch.nn.Sequential(*layers)
+
+        class TaskSim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self._affine = torch.nn.Linear(
+                    TestPortParticleNeT.READOUT[-1], 1
+                )
+
+        class ModelSim(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.backbone = BackboneSim()
+                self._tasks = torch.nn.ModuleList([TaskSim()])
+
+        model = ModelSim()
+        g = torch.Generator().manual_seed(seed + 1)
+        for conv in model.backbone._conv_layers:
+            for mod in conv.nn:
+                if isinstance(mod, torch.nn.BatchNorm1d):
+                    c = mod.num_features
+                    mod.running_mean = torch.randn(c, generator=g) * 0.1
+                    mod.running_var = torch.rand(c, generator=g) + 0.5
+        return model.eval()
+
+    def _torch_forward(self, model, x):
+        # reference forward `particlenet.py:240-255` (dynamic kNN, mean
+        # aggregation and pooling); eval-mode BatchNorm applied manually
+        # because torch's BatchNorm1d rejects the [B,L,k,C] edge tensor
+        idx = _knn(x)
+        h = x
+        for conv in model.backbone._conv_layers:
+            xj = _gather(h, idx)
+            xi = h[:, :, None, :].expand_as(xj)
+            m = torch.cat([xi, xj - xi], dim=-1)
+            for mod in conv.nn:
+                if isinstance(mod, torch.nn.BatchNorm1d):
+                    m = (m - mod.running_mean) / torch.sqrt(
+                        mod.running_var + mod.eps
+                    ) * mod.weight + mod.bias
+                else:
+                    m = mod(m)
+            h = m.mean(2)
+            idx = _knn(h)
+        z = h.mean(1)
+        z = model.backbone._readout(z)
+        return model._tasks[0]._affine(z)
+
+    def test_golden_activations(self):
+        from graphnet_tpu.models.gnn.particlenet import ParticleNeT
+
+        tmodel = self._torch_model()
+        xs = _inputs(6)
+        with torch.no_grad():
+            ref = self._torch_forward(tmodel, torch.from_numpy(xs))
+
+        model = StandardModel(
+            backbone=ParticleNeT(
+                nb_inputs=D,
+                nb_neighbours=K,
+                dynedge_layer_sizes=self.SIZES,
+                readout_layer_sizes=self.READOUT,
+                global_pooling_schemes=("mean",),
+                frozen_batchnorm=True,
+            ),
+            tasks=(_task(self.READOUT[-1]),),
+        )
+        batch = make_batch([xs[i] for i in range(B)], length=L)
+        template = model.init(jax.random.PRNGKey(0), batch)
+        params = port_particlenet_state_dict(tmodel.state_dict(), template)
+        (pred, _), = model.apply(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(pred), ref.numpy(), rtol=5e-3, atol=5e-3
+        )

@@ -557,8 +557,16 @@ def _build_component(cfg: Dict[str, Any]) -> Any:
     ):
         args["nb_outputs_"] = args.pop("nb_outputs")
     dropped = {k for k in args if k not in known}
+    # None normally means "use the default" (our defaults mirror the
+    # reference's) — EXCEPT `global_pooling_schemes`, where the reference
+    # default is None itself and an explicit null means "no pooling,
+    # node-level readout" (`dynedge.py` global_pooling_schemes=None);
+    # our flax default is the 4-scheme tuple, so the null must survive
+    keep_none = {"global_pooling_schemes"}
     args = {
-        k: v for k, v in args.items() if k in known and v is not None
+        k: v
+        for k, v in args.items()
+        if k in known and (v is not None or k in keep_none)
     }
     # flax dataclasses want tuples; plain classes keep lists (some
     # concatenate them with list literals, e.g. IceMixNodes)
@@ -604,6 +612,17 @@ def from_reference_config(path: str) -> Tuple[Any, Optional[Any]]:
     graph_definition = _translate(gd_cfg) if gd_cfg is not None else None
     tasks = _translate(arguments.pop("tasks"))
     backbone = _translate(arguments.pop("backbone"))
+
+    # a pooling-free backbone emits node-level latents (the reference's
+    # pulse-cleaner pattern, QUESO SplitInIcePulses_cleaner): its task
+    # heads predict per node
+    if not getattr(backbone, "global_pooling_schemes", True) and not (
+        getattr(backbone, "skip_readout", False)
+    ):
+        tasks = [
+            t.clone(node_level=True) if hasattr(t, "node_level") else t
+            for t in tasks
+        ]
 
     from graphnet_tpu.models.standard_model import StandardModel
 

@@ -307,6 +307,95 @@ class TestPortConvNet:
         )
 
 
+class TestRealZooPort:
+    """Port every real reference QUESO zoo config end to end: translate
+    the config, synthesise a reference-layout state_dict with the exact
+    shapes the torch model would have (``gnn/dynedge.py:190-249``), run
+    :func:`port_reference_model`, and predict."""
+
+    PATTERN = (
+        "/root/reference/src/graphnet/models/pretrained/icecube/"
+        "upgrade/QUESO/*/*_config.yml"
+    )
+
+    @staticmethod
+    def _synth_reference_state_dict(model, rng):
+        bb = model.backbone
+        nb_in = bb.nb_inputs
+        gv = nb_in + 5  # feature means + 4 homophily + log10 n_pulses
+        after = bb.add_global_variables_after_pooling
+        sd = {}
+
+        def lin(key, din, dout):
+            sd[f"{key}.weight"] = (
+                rng.standard_normal((dout, din)).astype(np.float32) * 0.05
+            )
+            sd[f"{key}.bias"] = (
+                rng.standard_normal((dout,)).astype(np.float32) * 0.05
+            )
+
+        d = nb_in + (0 if after else gv)
+        for i, sizes in enumerate(bb.dynedge_layer_sizes):
+            prev = 2 * d
+            for j, s in enumerate(sizes):
+                lin(f"backbone._conv_layers.{i}.nn.{2 * j}", prev, s)
+                prev = s
+            d = sizes[-1]
+        prev = nb_in + (0 if after else gv) + sum(
+            s[-1] for s in bb.dynedge_layer_sizes
+        )
+        for j, s in enumerate(bb.post_processing_layer_sizes):
+            lin(f"backbone._post_processing.{2 * j}", prev, s)
+            prev = s
+        schemes = bb.global_pooling_schemes
+        prev = prev * (len(schemes) if schemes else 1) + (gv if after else 0)
+        for j, s in enumerate(bb.readout_layer_sizes):
+            lin(f"backbone._readout.{2 * j}", prev, s)
+            prev = s
+        for t, task in enumerate(model.tasks):
+            lin(f"_tasks.{t}._affine", prev, task.nb_inputs)
+        return sd
+
+    def test_port_and_predict_all(self, tmp_path):
+        import glob
+        import os
+
+        from graphnet_tpu.utils.weight_port import (
+            from_reference_config,
+            port_reference_model,
+        )
+
+        paths = sorted(glob.glob(self.PATTERN))
+        if not paths:
+            pytest.skip("reference zoo not available")
+        rng = np.random.default_rng(0)
+        for p in paths:
+            name = os.path.basename(os.path.dirname(p))
+            model, _ = from_reference_config(p)
+            sd = self._synth_reference_state_dict(model, rng)
+            sd_path = str(tmp_path / f"{name}.pkl")
+            import pickle
+
+            with open(sd_path, "wb") as f:
+                pickle.dump(sd, f)
+            ported_model, _, params = port_reference_model(p, sd_path)
+
+            d = ported_model.backbone.nb_inputs
+            events = [
+                rng.standard_normal((L, d)).astype(np.float32)
+                for _ in range(2)
+            ]
+            batch = make_batch(events, length=L)
+            outputs = ported_model.apply(params, batch, inference=True)
+            for (pred, _reg), task in zip(outputs, ported_model.tasks):
+                pred = np.asarray(pred)
+                assert np.isfinite(pred).all(), name
+                if getattr(task, "node_level", False):
+                    assert pred.shape[:2] == (2, L), (name, pred.shape)
+                else:
+                    assert pred.shape[0] == 2, (name, pred.shape)
+
+
 class TestPortParticleNeT:
     SIZES = ((8, 8), (16, 16))
     READOUT = (12,)

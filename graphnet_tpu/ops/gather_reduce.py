@@ -110,8 +110,12 @@ def global_pool(x: jax.Array, mask: jax.Array, schemes) -> jax.Array:
     """Concat of pooled features per scheme, ``[B, len(schemes)*D]``.
 
     Mirrors DynEdge's multi-scheme readout pooling
-    (reference ``gnn/dynedge.py:251-264``).
+    (reference ``gnn/dynedge.py:251-264``); a bare string means one
+    scheme (the reference's ``isinstance(str)`` normalisation,
+    ``particlenet.py:135-137``).
     """
+    if isinstance(schemes, str):
+        schemes = (schemes,)
     return jnp.concatenate([POOLS[s](x, mask) for s in schemes], axis=-1)
 
 

@@ -576,6 +576,9 @@ def _build_component(cfg: Dict[str, Any]) -> Any:
                 args[k] = _tuplify_lists(v)
     if "target_labels" in args and isinstance(args["target_labels"], str):
         args["target_labels"] = (args["target_labels"],)
+    # the reference accepts a bare string for one pooling scheme
+    if isinstance(args.get("global_pooling_schemes"), str):
+        args["global_pooling_schemes"] = (args["global_pooling_schemes"],)
     obj = cls(**args)
     if dropped:
         import warnings

@@ -459,6 +459,8 @@ _LAMBDA_TABLE = {
     "x: x": "identity",
     "x: torch.log10(x)/2.": "log10_half",
     "x: 10**(2*x)": "pow10_double",
+    "x: torch.nn.functional.softmax(x, dim=-1)": "softmax",
+    "x: torch.nn.functional.softmax(x,dim=-1)": "softmax",
 }
 
 
@@ -475,9 +477,12 @@ def _resolve_lambda(s: str):
     if name not in TRANSFORM_REGISTRY:
         import jax.numpy as jnp
 
+        import jax
+
         extra = {
             "log10_half": lambda x: jnp.log10(x) / 2.0,
             "pow10_double": lambda x: jnp.power(10.0, 2.0 * x),
+            "softmax": lambda x: jax.nn.softmax(x, axis=-1),
         }
         register_transform(name, extra[name])
     return TRANSFORM_REGISTRY[name]
@@ -550,6 +555,25 @@ def _build_component(cfg: Dict[str, Any]) -> Any:
         known = {f.name for f in dataclasses.fields(cls)}
     else:
         known = set(inspect.signature(cls.__init__).parameters)
+    # a KNNGraph config stores k/columns inside its captured
+    # `edge_definition` (the reference constructor builds KNNEdges itself,
+    # `graphs/graphs.py:13-58`); fold them into the KNNGraph arguments so
+    # a non-default k survives translation
+    if name == "KNNGraph" and "edge_definition" in args:
+        ed = args.pop("edge_definition")
+        if type(ed).__name__ == "KNNEdges":
+            args.setdefault(
+                "nb_nearest_neighbours", ed.nb_nearest_neighbours
+            )
+            args.setdefault("columns", tuple(ed.columns))
+        elif ed is not None:
+            import warnings
+
+            warnings.warn(
+                f"KNNGraph: non-KNN edge_definition "
+                f"{type(ed).__name__} dropped in translation"
+            )
+
     # flax reserves `nb_outputs` as a property on some backbones; the
     # constructor argument is `nb_outputs_` (e.g. ConvNet)
     if "nb_outputs" in args and "nb_outputs" not in known and (

@@ -396,6 +396,69 @@ class TestRealZooPort:
                     assert pred.shape[0] == 2, (name, pred.shape)
 
 
+class TestReferenceExampleConfigs:
+    """All shipped reference example configs
+    (``/root/reference/configs/models/*.yml``) translate: softmax
+    transform resolved from the table (never eval'd), KNNEdges k/columns
+    folded from the captured edge_definition into KNNGraph."""
+
+    def test_translate_all(self):
+        import glob
+
+        from graphnet_tpu.utils.weight_port import from_reference_config
+
+        paths = sorted(glob.glob("/root/reference/configs/models/*.yml"))
+        if not paths:
+            pytest.skip("reference example configs not available")
+        for p in paths:
+            model, gd = from_reference_config(p)
+            assert model.backbone is not None and model.tasks
+            assert gd is not None
+
+    def test_knn_edge_definition_folded(self, tmp_path):
+        """A non-default k inside the captured edge_definition must
+        survive into the translated KNNGraph."""
+        import yaml
+
+        from graphnet_tpu.utils.weight_port import _build_component
+
+        cfg = {
+            "class_name": "KNNGraph",
+            "arguments": {
+                "detector": {
+                    "ModelConfig": {
+                        "class_name": "Prometheus",
+                        "arguments": {},
+                    }
+                },
+                "edge_definition": {
+                    "ModelConfig": {
+                        "class_name": "KNNEdges",
+                        "arguments": {
+                            "nb_nearest_neighbours": 16,
+                            "columns": [0, 1, 3],
+                        },
+                    }
+                },
+            },
+        }
+        gd = _build_component(cfg)
+        ed = gd.edge_definition
+        assert ed.nb_nearest_neighbours == 16
+        assert tuple(ed.columns) == (0, 1, 3)
+
+    def test_softmax_transform(self):
+        from graphnet_tpu.utils.weight_port import _resolve_lambda
+
+        fn = _resolve_lambda(
+            "!lambda x: torch.nn.functional.softmax(x, dim=-1)"
+        )
+        import jax.numpy as jnp
+
+        out = np.asarray(fn(jnp.asarray([[0.0, 1.0, 2.0]])))
+        np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-5)
+
+
 class TestPortParticleNeT:
     SIZES = ((8, 8), (16, 16))
     READOUT = (12,)

@@ -657,6 +657,82 @@ def from_reference_config(path: str) -> Tuple[Any, Optional[Any]]:
     return model, graph_definition
 
 
+def from_reference_dataset_config(path: str) -> Any:
+    """Build dataset(s) from a reference DatasetConfig YAML — the flat
+    format of ``utilities/config/dataset_config.py:32`` (``path``,
+    ``pulsemaps``, ``features``, ``truth``, ``selection``, nested
+    ``graph_definition``), as shipped under ``configs/datasets/`` in the
+    reference repo.
+
+    Mirrors reference ``Dataset.from_config`` semantics
+    (``dataset/dataset.py:107-190``): a plain selection gives one
+    dataset, a ``{name: selection}`` dict gives ``{name: Dataset}``, and
+    a named list of selections gives an EnsembleDataset per name. The
+    ``$GRAPHNET`` path macro resolves against this repo's root (our
+    bundled example data mirrors the reference layout). The backend is
+    chosen from the path: SQLite for ``.db``/``.sqlite``, Parquet
+    otherwise.
+    """
+    import yaml
+
+    with open(path) as f:
+        cfg = dict(yaml.safe_load(f))
+
+    gd_cfg = cfg.pop("graph_definition", None)
+    graph_definition = _translate(gd_cfg) if gd_cfg is not None else None
+    data_path = cfg.pop("path")
+    selection = cfg.pop("selection", None)
+
+    from graphnet_tpu.data.parquet_dataset import ParquetDataset
+    from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
+
+    first = data_path[0] if isinstance(data_path, list) else data_path
+    cls = (
+        SQLiteDataset
+        if str(first).endswith((".db", ".sqlite", ".sqlite3"))
+        else ParquetDataset
+    )
+
+    allowed = {
+        "pulsemaps", "features", "truth", "node_truth", "index_column",
+        "truth_table", "node_truth_table", "string_selection",
+        "loss_weight_table", "loss_weight_column",
+        "loss_weight_default_value", "seed",
+    }
+    kwargs = {k: v for k, v in cfg.items() if k in allowed and v is not None}
+    ignored = sorted(k for k in cfg if k not in allowed and cfg[k] is not None)
+    if ignored:
+        import warnings
+
+        warnings.warn(
+            f"reference dataset config: ignored arguments {ignored}"
+        )
+
+    def one(sel):
+        return cls(
+            path=data_path,
+            graph_definition=graph_definition,
+            selection=sel,
+            **kwargs,
+        )
+
+    if isinstance(selection, dict):
+        from graphnet_tpu.data.dataset import EnsembleDataset
+
+        out = {}
+        for name, sel in selection.items():
+            if (
+                isinstance(sel, list)
+                and sel
+                and isinstance(sel[0], (list, str))
+            ):
+                out[name] = EnsembleDataset([one(s) for s in sel])
+            else:
+                out[name] = one(sel)
+        return out
+    return one(selection)
+
+
 def port_reference_model(
     config_path: str,
     state_dict_path: str,

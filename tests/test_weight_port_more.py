@@ -459,6 +459,57 @@ class TestReferenceExampleConfigs:
         np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-5)
 
 
+class TestReferenceDatasetConfigs:
+    """Reference DatasetConfig YAMLs (flat format,
+    ``utilities/config/dataset_config.py:32``) build real datasets on the
+    bundled example data."""
+
+    def test_sqlite_named_selections(self):
+        import os
+
+        from graphnet_tpu.utils.weight_port import (
+            from_reference_dataset_config,
+        )
+
+        p = (
+            "/root/reference/configs/datasets/"
+            "training_example_data_sqlite.yml"
+        )
+        if not os.path.exists(p):
+            pytest.skip("reference dataset configs not available")
+        ds = from_reference_dataset_config(p)
+        assert set(ds) == {"train", "validation", "test"}
+        total = sum(len(v) for v in ds.values())
+        assert total == 50  # the bundled example DB
+        # `event_no % 5` selections partition the events disjointly
+        seen = [
+            int(np.asarray(e.labels["event_no"]).item())
+            for v in ds.values()
+            for e in (v[i] for i in range(len(v)))
+        ]
+        assert len(seen) == len(set(seen)) == total
+        ev = ds["train"][0]
+        assert ev.x.shape[1] == 4  # PROMETHEUS features
+
+    def test_classification_config(self):
+        import os
+
+        from graphnet_tpu.utils.weight_port import (
+            from_reference_dataset_config,
+        )
+
+        p = (
+            "/root/reference/configs/datasets/"
+            "training_classification_example_data_sqlite.yml"
+        )
+        if not os.path.exists(p):
+            pytest.skip("reference dataset configs not available")
+        ds = from_reference_dataset_config(p)
+        anyds = next(iter(ds.values())) if isinstance(ds, dict) else ds
+        assert len(anyds) > 0
+        assert anyds[0].x.shape[0] >= 1
+
+
 class TestPortParticleNeT:
     SIZES = ((8, 8), (16, 16))
     READOUT = (12,)

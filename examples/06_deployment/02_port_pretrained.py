@@ -166,7 +166,12 @@ def main() -> None:
     logger = Logger()
 
     os.makedirs(args.workdir, exist_ok=True)
-    if args.ref_config is None or args.ref_state_dict is None:
+    if (args.ref_config is None) != (args.ref_state_dict is None):
+        parser.error(
+            "--ref-config and --ref-state-dict must be given together "
+            "(or both omitted to use generated stand-in artifacts)"
+        )
+    if args.ref_config is None:
         make_reference_artifacts(args.workdir)
         args.ref_config = os.path.join(
             args.workdir, "ref_model_config.yml"

@@ -102,6 +102,11 @@ class DynEdgeTITO(GNN):
                 name="post_processing",
             )(x)
 
+        # the reference equally rejects empty pooling here
+        # (`dynedge_kaggle_tito.py:202` asserts) — fail with a clear message
+        assert self.global_pooling_schemes, (
+            "DynEdgeTITO requires at least one global pooling scheme"
+        )
         x = global_pool(x, mask, self.global_pooling_schemes)
         if self.use_global_features:
             x = jnp.concatenate([x, global_variables], axis=-1)

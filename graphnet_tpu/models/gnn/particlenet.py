@@ -3,9 +3,12 @@
 after arXiv:1902.08570).
 
 BatchNorm inside the conv MLPs uses masked batch statistics over valid
-edges (the torch version's running averages are not replicated — batch
-stats are used in train and eval alike; acceptable for the model family's
-training-time behaviour and noted here for parity review).
+edges by default (train and eval alike). Checkpoints ported from the
+reference instead use ``frozen_batchnorm=True``: the torch running
+averages are ported into frozen ``mean``/``var`` params and applied as
+eval-mode statistics (see utils/weight_port.py; when fine-tuning such a
+model with decoupled weight decay, mask the frozen statistics with
+``weight_port.frozen_stat_decay_mask``).
 """
 
 from __future__ import annotations
@@ -151,7 +154,12 @@ class ParticleNeT(GNN):
             return x
 
         act = resolve_activation(self.activation_layer)
-        h = global_pool(x, mask, self.global_pooling_schemes)
+        # None pooling → node-level readout (reference `particlenet.py:
+        # 245-252`: pooling is optional, readout then applies per node)
+        if self.global_pooling_schemes:
+            h = global_pool(x, mask, self.global_pooling_schemes)
+        else:
+            h = x
         for i, size in enumerate(self.readout_layer_sizes):
             h = act(nn.Dense(size, name=f"readout_{i}")(h))
             h = nn.Dropout(

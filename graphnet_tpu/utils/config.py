@@ -43,6 +43,7 @@ def register_transform(name: str, fn: Callable) -> None:
 
 
 def _register_builtin_transforms() -> None:
+    import jax
     import jax.numpy as jnp
 
     register_transform("log10", lambda x: jnp.log10(x))
@@ -52,6 +53,12 @@ def _register_builtin_transforms() -> None:
     register_transform("identity", lambda x: x)
     register_transform("cosh", lambda x: jnp.cosh(x))
     register_transform("arccosh", lambda x: jnp.arccosh(x))
+    # transforms appearing in reference zoo/example configs
+    # (weight_port._LAMBDA_TABLE) — registered here so models SAVED after
+    # porting load in a fresh process
+    register_transform("log10_half", lambda x: jnp.log10(x) / 2.0)
+    register_transform("pow10_double", lambda x: jnp.power(10.0, 2.0 * x))
+    register_transform("softmax", lambda x: jax.nn.softmax(x, axis=-1))
 
 
 _register_builtin_transforms()

@@ -474,17 +474,9 @@ def _resolve_lambda(s: str):
             "weight_port._LAMBDA_TABLE with a registered transform."
         )
     name = _LAMBDA_TABLE[body]
-    if name not in TRANSFORM_REGISTRY:
-        import jax.numpy as jnp
-
-        import jax
-
-        extra = {
-            "log10_half": lambda x: jnp.log10(x) / 2.0,
-            "pow10_double": lambda x: jnp.power(10.0, 2.0 * x),
-            "softmax": lambda x: jax.nn.softmax(x, axis=-1),
-        }
-        register_transform(name, extra[name])
+    # every table entry is registered by
+    # utils.config._register_builtin_transforms, so models saved after
+    # porting reload in a fresh process
     return TRANSFORM_REGISTRY[name]
 
 
@@ -657,6 +649,37 @@ def from_reference_config(path: str) -> Tuple[Any, Optional[Any]]:
     return model, graph_definition
 
 
+def frozen_stat_decay_mask(params: Any) -> Any:
+    """Weight-decay mask (True = decay) excluding ported frozen BatchNorm
+    statistics — ConvNet ``bn_mean``/``bn_var`` and MaskedBatchNorm
+    ``mean``/``var``.
+
+    Their gradients are already ``stop_gradient``-ed to zero, but
+    *decoupled* weight decay (``optax.adamw`` / ``add_decayed_weights``)
+    mutates every leaf regardless of gradient and would shrink the
+    statistics toward zero during fine-tuning. Pass this as the
+    optimiser's ``mask=`` when fine-tuning a ported ConvNet/ParticleNeT::
+
+        optax.adamw(1e-4, mask=frozen_stat_decay_mask(params))
+    """
+    frozen = {"bn_mean", "bn_var", "mean", "var"}
+
+    def mask(node):
+        if isinstance(node, dict) or hasattr(node, "items"):
+            return {
+                k: (
+                    False
+                    if k in frozen
+                    and not (isinstance(v, dict) or hasattr(v, "items"))
+                    else mask(v)
+                )
+                for k, v in node.items()
+            }
+        return True
+
+    return mask(params)
+
+
 def from_reference_dataset_config(path: str) -> Any:
     """Build dataset(s) from a reference DatasetConfig YAML — the flat
     format of ``utilities/config/dataset_config.py:32`` (``path``,
@@ -708,6 +731,8 @@ def from_reference_dataset_config(path: str) -> Any:
             f"reference dataset config: ignored arguments {ignored}"
         )
 
+    from graphnet_tpu.data.dataset import EnsembleDataset
+
     def one(sel):
         return cls(
             path=data_path,
@@ -716,21 +741,21 @@ def from_reference_dataset_config(path: str) -> Any:
             **kwargs,
         )
 
-    if isinstance(selection, dict):
-        from graphnet_tpu.data.dataset import EnsembleDataset
+    def one_or_ensemble(sel):
+        # a list of per-dataset selections (each a string or id-list)
+        # becomes an ensemble (reference `dataset.py:131-137`); a flat
+        # list of event ids is a single selection
+        if isinstance(sel, list) and sel and isinstance(
+            sel[0], (list, str)
+        ):
+            return EnsembleDataset([one(s) for s in sel])
+        return one(sel)
 
-        out = {}
-        for name, sel in selection.items():
-            if (
-                isinstance(sel, list)
-                and sel
-                and isinstance(sel[0], (list, str))
-            ):
-                out[name] = EnsembleDataset([one(s) for s in sel])
-            else:
-                out[name] = one(sel)
-        return out
-    return one(selection)
+    if isinstance(selection, dict):
+        return {
+            name: one_or_ensemble(sel) for name, sel in selection.items()
+        }
+    return one_or_ensemble(selection)
 
 
 def port_reference_model(
@@ -889,29 +914,8 @@ def port_tito_state_dict(
                 take(f"{prefix}.{lid}.bias"),
             )
 
-    for m in [re.match(r"_tasks\.(\d+)\._affine\.weight$", k) for k in sd]:
-        if m:
-            t = int(m.group(1))
-            _fill(
-                root[f"tasks_{t}"]["affine"],
-                "kernel",
-                take(f"_tasks.{t}._affine.weight").T,
-            )
-            _fill(
-                root[f"tasks_{t}"]["affine"],
-                "bias",
-                take(f"_tasks.{t}._affine.bias"),
-            )
-
-    unused = [
-        k
-        for k in sd
-        if k not in used
-        and ("weight" in k or "bias" in k)
-        and not k.startswith("_graph_definition")
-    ]
-    if unused:
-        raise ValueError(f"unported parameter keys: {unused}")
+    _port_tasks(sd, take, root)
+    _check_unused(sd, used)
     return params
 
 
@@ -1060,27 +1064,6 @@ def port_deepice_state_dict(
         )
 
     # --- task heads ------------------------------------------------------
-    for m in [re.match(r"_tasks\.(\d+)\._affine\.weight$", k) for k in sd]:
-        if m:
-            t = int(m.group(1))
-            _fill(
-                root[f"tasks_{t}"]["affine"],
-                "kernel",
-                take(f"_tasks.{t}._affine.weight").T,
-            )
-            _fill(
-                root[f"tasks_{t}"]["affine"],
-                "bias",
-                take(f"_tasks.{t}._affine.bias"),
-            )
-
-    unused = [
-        k
-        for k in sd
-        if k not in used
-        and ("weight" in k or "bias" in k)
-        and not k.startswith("_graph_definition")
-    ]
-    if unused:
-        raise ValueError(f"unported parameter keys: {unused}")
+    _port_tasks(sd, take, root)
+    _check_unused(sd, used)
     return params

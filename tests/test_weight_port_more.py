@@ -510,6 +510,91 @@ class TestReferenceDatasetConfigs:
         assert anyds[0].x.shape[0] >= 1
 
 
+class TestReviewRegressions:
+    def test_ported_transforms_registered_eagerly(self):
+        """Transforms used by ported configs live in the builtin registry
+        so a saved ported model loads in a fresh process (previously they
+        were registered lazily inside _resolve_lambda only)."""
+        from graphnet_tpu.utils.config import TRANSFORM_REGISTRY
+
+        for name in ("softmax", "log10_half", "pow10_double"):
+            assert name in TRANSFORM_REGISTRY, name
+
+    def test_particlenet_none_pooling_is_node_level(self):
+        from graphnet_tpu.models.gnn.particlenet import ParticleNeT
+
+        model = ParticleNeT(
+            nb_inputs=D,
+            nb_neighbours=4,
+            dynedge_layer_sizes=((8, 8),),
+            readout_layer_sizes=(6,),
+            global_pooling_schemes=None,
+        )
+        xs = _inputs(9)
+        batch = make_batch([xs[i] for i in range(B)], length=L)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(params, batch)
+        assert out.shape == (B, L, 6)  # per-node readout
+
+    def test_dataset_config_top_level_ensemble(self, tmp_path):
+        import yaml
+
+        from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+        from graphnet_tpu.data.dataset import EnsembleDataset
+        from graphnet_tpu.utils.weight_port import (
+            from_reference_dataset_config,
+        )
+
+        cfg = {
+            "path": EXAMPLE_SQLITE_DATA,
+            "graph_definition": {
+                "class_name": "KNNGraph",
+                "arguments": {
+                    "detector": {
+                        "class_name": "Prometheus",
+                        "arguments": {},
+                    }
+                },
+            },
+            "pulsemaps": ["total"],
+            "features": ["sensor_pos_x", "sensor_pos_y",
+                         "sensor_pos_z", "t"],
+            "truth": ["total_energy"],
+            "truth_table": "mc_truth",
+            "selection": ["event_no % 2 == 0", "event_no % 2 == 1"],
+        }
+        p = str(tmp_path / "ds.yml")
+        with open(p, "w") as f:
+            yaml.safe_dump(cfg, f)
+        ds = from_reference_dataset_config(p)
+        assert isinstance(ds, EnsembleDataset)
+        assert len(ds) == 50  # both halves of the bundled DB
+
+    def test_frozen_stat_decay_mask(self):
+        from graphnet_tpu.utils.weight_port import frozen_stat_decay_mask
+
+        params = {
+            "params": {
+                "backbone": {
+                    "bn_scale": np.ones(3),
+                    "bn_mean": np.zeros(3),
+                    "bn_var": np.ones(3),
+                    "conv_0": {
+                        "bn_0": {"scale": np.ones(2), "mean": np.zeros(2)},
+                        "self_dense": {"kernel": np.ones((2, 2))},
+                    },
+                }
+            }
+        }
+        m = frozen_stat_decay_mask(params)
+        bb = m["params"]["backbone"]
+        assert bb["bn_scale"] is True
+        assert bb["bn_mean"] is False and bb["bn_var"] is False
+        assert bb["conv_0"]["bn_0"]["mean"] is False
+        assert bb["conv_0"]["bn_0"]["scale"] is True
+        assert bb["conv_0"]["self_dense"]["kernel"] is True
+
+
 class TestPortParticleNeT:
     SIZES = ((8, 8), (16, 16))
     READOUT = (12,)

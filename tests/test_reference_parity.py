@@ -1,0 +1,369 @@
+"""Golden-activation parity against the ACTUAL reference source.
+
+These tests import `/root/reference/src/graphnet` itself (via the
+dependency shims in ``tests/refshim``) and compare per-layer activations
+of the executed reference models against our flax implementations with
+ported weights.  This is the strong form of the parity requirement
+("DynEdge per-layer activations vs reference allclose", BASELINE.md):
+both sides of the comparison can no longer inherit a shared misreading —
+the reference side IS the reference.
+
+Covered here:
+  * DynEdge (`models/gnn/dynedge.py:295-349`): neighbor sets per layer,
+    conv activations, post-processing, pooled vector, readout.
+  * Homophily + global-variable path on data with repeated (DOM-like)
+    coordinates (`models/utils.py:13-29`).
+  * EnergyReconstruction head + LogCoshLoss value and a 20-step Adam
+    loss trajectory (`task/reconstruction.py:101-112`,
+    `training/loss_functions.py:93-112`).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests import refshim
+
+if not refshim.reference_available():  # pragma: no cover
+    pytest.skip("no reference checkout", allow_module_level=True)
+
+import jax
+import jax.numpy as jnp
+
+from graphnet_tpu.batch import make_batch
+from graphnet_tpu.models.gnn.dynedge import DynEdge as OurDynEdge
+from graphnet_tpu.utils.weight_port import port_dynedge_state_dict
+
+LENGTHS = (17, 24, 9, 31)
+D = 4  # x, y, z, t
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return refshim.load_reference()
+
+
+def _random_events(seed, lengths=LENGTHS, dom_like=False):
+    """Per-event [L, 4] features.  dom_like=True draws xyz from a small
+    set of repeated 'DOM' positions (exercises homophily + exact-tie
+    kNN breaking); otherwise coordinates are unique."""
+    rng = np.random.default_rng(seed)
+    events = []
+    for L in lengths:
+        if dom_like:
+            n_doms = max(3, L // 4)
+            doms = rng.normal(size=(n_doms, 3)).astype(np.float32)
+            xyz = doms[rng.integers(0, n_doms, L)]
+        else:
+            xyz = rng.normal(size=(L, 3)).astype(np.float32)
+        t = rng.normal(size=(L, 1)).astype(np.float32)
+        events.append(np.concatenate([xyz, t], axis=1))
+    return events
+
+
+def _to_torch_batch(ref, events):
+    """Concatenated reference-layout tensors + initial kNN edges
+    (as the reference KNNEdges would compute them: k=8 on columns
+    [0, 1, 2] — `graphs/edges/edges.py:74-78`)."""
+    import torch_cluster  # the shim
+
+    x = torch.from_numpy(np.concatenate(events, axis=0))
+    batch = torch.cat(
+        [
+            torch.full((len(e),), i, dtype=torch.long)
+            for i, e in enumerate(events)
+        ]
+    )
+    edge_index = torch_cluster.knn_graph(x[:, :3], k=8, batch=batch)
+    n_pulses = torch.tensor([len(e) for e in events], dtype=torch.float32)
+    return x, edge_index, batch, n_pulses
+
+
+def _edge_sets(edge_index, n_total):
+    """edge_index [2, E] (source j, target i) → per-target neighbor set."""
+    sets = [set() for _ in range(n_total)]
+    src, dst = edge_index[0].tolist(), edge_index[1].tolist()
+    for j, i in zip(src, dst):
+        sets[i].add(j)
+    return sets
+
+
+def _our_edge_sets(idx, edge_mask, lengths):
+    """[B, L, k] local neighbor indices → flat-index neighbor sets in the
+    reference's concatenated order."""
+    sets = []
+    offset = 0
+    idx = np.asarray(idx)
+    edge_mask = np.asarray(edge_mask)
+    for b, L in enumerate(lengths):
+        for i in range(L):
+            s = {
+                offset + int(idx[b, i, e])
+                for e in range(idx.shape[2])
+                if edge_mask[b, i, e]
+            }
+            sets.append(s)
+        offset += L
+    return sets
+
+
+def _flatten_ours(padded, lengths):
+    """[B, L, D] → [sum(L), D] in reference concatenation order."""
+    padded = np.asarray(padded)
+    return np.concatenate(
+        [padded[b, :L] for b, L in enumerate(lengths)], axis=0
+    )
+
+
+def _build_reference_dynedge(ref, seed=0):
+    from graphnet.models.gnn import DynEdge as RefDynEdge
+
+    torch.manual_seed(seed)
+    return RefDynEdge(
+        nb_inputs=D,
+        global_pooling_schemes=["min", "max", "mean", "sum"],
+    ).eval()
+
+
+def _port_backbone(ref_model, our_model, example_batch):
+    """Port the reference backbone state_dict into our flax params."""
+    params = our_model.init(jax.random.PRNGKey(0), example_batch)
+    sd = {
+        "backbone." + k: v for k, v in ref_model.state_dict().items()
+    }
+    template = {"params": {"backbone": params["params"]}}
+    ported = port_dynedge_state_dict(sd, template)
+    return {"params": ported["params"]["backbone"]}
+
+
+def _run_reference(ref_model, x, edge_index, batch, n_pulses):
+    """Forward with per-stage capture via forward hooks."""
+    from torch_geometric.data import Data
+
+    captured = {}
+
+    def conv_hook(i):
+        def hook(mod, args, out):
+            captured[f"conv_{i}"] = (
+                out[0].detach().numpy(),
+                out[1].detach(),
+            )
+
+        return hook
+
+    hooks = [
+        conv.register_forward_hook(conv_hook(i))
+        for i, conv in enumerate(ref_model._conv_layers)
+    ]
+    hooks.append(
+        ref_model._post_processing.register_forward_hook(
+            lambda m, a, o: captured.__setitem__(
+                "post", o.detach().numpy()
+            )
+        )
+    )
+    data = Data(x=x, edge_index=edge_index)
+    data.batch = batch
+    data.n_pulses = n_pulses
+    with torch.no_grad():
+        out = ref_model(data)
+    for h in hooks:
+        h.remove()
+    captured["readout"] = out.detach().numpy()
+    return captured
+
+
+def _run_ours(our_model, params, events):
+    batch = make_batch(events, length=max(LENGTHS))
+    out, state = our_model.apply(
+        params, batch, capture_intermediates=True, mutable=["intermediates"]
+    )
+    inter = state["intermediates"]
+    return np.asarray(out), inter, batch
+
+
+@pytest.mark.parametrize("dom_like", [False, True])
+def test_dynedge_activation_parity(ref, dom_like):
+    """Per-layer activations of the EXECUTED reference DynEdge match ours
+    with ported weights (first conv ≤ 2e-5, compounding later layers)."""
+    events = _random_events(7 if dom_like else 3, dom_like=dom_like)
+    lengths = [len(e) for e in events]
+    ref_model = _build_reference_dynedge(ref)
+
+    x, edge_index, batch, n_pulses = _to_torch_batch(ref, events)
+    captured = _run_reference(ref_model, x, edge_index, batch, n_pulses)
+
+    our_model = OurDynEdge(nb_inputs=D)
+    example = make_batch(events, length=max(LENGTHS))
+    params = _port_backbone(ref_model, our_model, example)
+    out, inter, _ = _run_ours(our_model, params, events)
+
+    # --- neighbor-set parity of the recomputed graphs, layer by layer ---
+    for i in range(4):
+        ref_sets = _edge_sets(captured[f"conv_{i}"][1], sum(lengths))
+        idx, emask = inter[f"conv_{i}"]["__call__"][0][1:3]
+        our_sets = _our_edge_sets(idx, emask, lengths)
+        # conv_i RE-computes edges from its OUTPUT; our conv_i returns the
+        # recomputed (output) edges too, but the reference's conv_i output
+        # edge_index is consumed by conv_{i+1}. Compare our conv_i output
+        # edges to reference conv_i's recomputed ones.
+        mismatched = sum(a != b for a, b in zip(ref_sets, our_sets))
+        assert mismatched == 0, (
+            f"layer {i}: {mismatched}/{len(ref_sets)} nodes with "
+            f"different neighbor sets"
+        )
+
+    # --- activation parity ---
+    tol = {"conv_0": 2e-5, "conv_1": 5e-5, "conv_2": 1e-4, "conv_3": 2e-4}
+    for name, t in tol.items():
+        ref_act = captured[name][0]
+        ours = _flatten_ours(
+            inter[name]["__call__"][0][0], lengths
+        ).astype(np.float32)
+        scale = np.abs(ref_act).max() + 1e-6
+        err = np.abs(ref_act - ours).max() / scale
+        assert err < t, f"{name}: rel err {err:.2e} > {t}"
+
+    ref_post = captured["post"]
+    our_post = _flatten_ours(
+        inter["post_processing"]["__call__"][0], lengths
+    )
+    err = np.abs(ref_post - our_post).max() / (np.abs(ref_post).max() + 1e-6)
+    assert err < 5e-4, f"post-processing: rel err {err:.2e}"
+
+    ref_read = captured["readout"]
+    err = np.abs(ref_read - out).max() / (np.abs(ref_read).max() + 1e-6)
+    assert err < 5e-4, f"readout: rel err {err:.2e}"
+
+
+def test_dynedge_initial_knn_matches_reference(ref):
+    """Layer-0 edges: our padded kNN == torch_cluster semantics on the
+    same coordinates, including DOM-like exact ties."""
+    from graphnet_tpu.ops import knn_graph as our_knn
+
+    for seed in range(5):
+        events = _random_events(seed, dom_like=seed % 2 == 1)
+        lengths = [len(e) for e in events]
+        x, edge_index, batch, _ = _to_torch_batch(ref, events)
+        ref_sets = _edge_sets(edge_index, sum(lengths))
+
+        b = make_batch(events, length=max(LENGTHS))
+        idx, emask = our_knn(b.x[..., :3], b.mask, k=8)
+        our_sets = _our_edge_sets(idx, emask, lengths)
+        assert ref_sets == our_sets, f"seed {seed}: kNN neighbor sets differ"
+
+
+def test_energy_task_and_loss_trajectory(ref):
+    """EnergyReconstruction + LogCoshLoss: identical loss at step 0 and a
+    matching 20-step Adam trajectory (lr 1e-3, eps 1e-3 — the canonical
+    training config, `examples/04_training/01_train_dynedge.py:219-224`)."""
+    import optax
+
+    from graphnet.models.task.reconstruction import (
+        EnergyReconstruction as RefEnergy,
+    )
+    from graphnet.training.loss_functions import LogCoshLoss as RefLogCosh
+
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+
+    events = _random_events(11, dom_like=True)
+    lengths = [len(e) for e in events]
+    energy = np.asarray([1.2, 3.4, 0.7, 2.2], dtype=np.float32)
+
+    # ---- reference: DynEdge backbone + Energy task, manual Adam loop ----
+    torch.manual_seed(0)
+    ref_backbone = _build_reference_dynedge(ref)
+    torch.manual_seed(1)
+    ref_task = RefEnergy(
+        hidden_size=128,
+        target_labels="energy",
+        loss_function=RefLogCosh(),
+    )
+    ref_task.train()
+    ref_backbone.train()
+
+    x, edge_index, batch, n_pulses = _to_torch_batch(ref, events)
+    from torch_geometric.data import Data
+
+    data = Data(x=x, edge_index=edge_index)
+    data.batch = batch
+    data.n_pulses = n_pulses
+    data["energy"] = torch.from_numpy(energy)
+
+    # snapshot INITIAL weights for porting (the loop below mutates them)
+    sd0 = {
+        "backbone." + k: v.detach().clone()
+        for k, v in ref_backbone.state_dict().items()
+    }
+    sd0.update(
+        {
+            "_tasks.0." + k: v.detach().clone()
+            for k, v in ref_task.state_dict().items()
+        }
+    )
+
+    opt = torch.optim.Adam(
+        list(ref_backbone.parameters()) + list(ref_task.parameters()),
+        lr=1e-3,
+        eps=1e-3,
+    )
+    ref_losses = []
+    for _ in range(20):
+        opt.zero_grad()
+        preds = ref_task(ref_backbone(data))
+        loss = ref_task.compute_loss(preds, data)
+        loss.backward()
+        ref_losses.append(float(loss.detach()))
+        opt.step()
+
+    # ---- ours: ported initial weights, optax Adam, same data ----
+    model = StandardModel(
+        backbone=OurDynEdge(nb_inputs=D),
+        tasks=(
+            EnergyReconstruction(
+                target_labels=("energy",),
+                loss_function=LogCoshLoss(),
+            ),
+        ),
+    )
+    b = make_batch(
+        events, labels={"energy": energy}, length=max(LENGTHS)
+    )
+    params = model.init(jax.random.PRNGKey(0), b)
+    params = port_dynedge_state_dict(sd0, params)
+
+    tx = optax.adam(1e-3, eps=1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, b):
+        def loss_fn(p):
+            outputs = model.apply(p, b)
+            return model.loss_from_batch(outputs, b)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    our_losses = []
+    for _ in range(20):
+        params, opt_state, loss = step(params, opt_state, b)
+        our_losses.append(float(loss))
+
+    ref_losses = np.asarray(ref_losses)
+    our_losses = np.asarray(our_losses)
+    # step-0 loss is a pure forward parity check.
+    assert abs(ref_losses[0] - our_losses[0]) < 1e-4 * max(
+        1.0, abs(ref_losses[0])
+    ), f"step-0 loss mismatch: {ref_losses[0]} vs {our_losses[0]}"
+    # Steps 1-3 descend a near-saturated softplus cliff where fp32
+    # reduction-order noise amplifies; both optimizers settle onto the
+    # SAME fixed point by step 4 — assert the settled tail tightly.
+    np.testing.assert_allclose(
+        our_losses[4:], ref_losses[4:], rtol=1e-4, atol=1e-5
+    )
+    assert ref_losses[-1] < ref_losses[0]
+    assert our_losses[-1] < our_losses[0]

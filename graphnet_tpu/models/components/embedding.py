@@ -25,9 +25,13 @@ class SinusoidalPosEmb(nn.Module):
     def __call__(self, x: Array) -> Array:
         assert self.dim % 2 == 0, f"dim must be even, got {self.dim}"
         half = self.dim // 2
+        # match torch bit-for-bit: log(n_freq) is rounded to fp32 BEFORE
+        # the divide (`embedding.py:46-47`); the 1-ulp frequency difference
+        # is amplified ~4096x by the FourierEncoder's scaled arguments
+        log_nf = np.float32(np.log(np.float32(self.n_freq)))
         freq = jnp.exp(
             jnp.arange(half, dtype=jnp.float32)
-            * (-np.log(self.n_freq) / half)
+            * jnp.float32(-log_nf / np.float32(half))
         )
         emb = x[..., None] * freq
         emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
@@ -92,7 +96,7 @@ class FourierEncoder(nn.Module):
         mlp_dim = self.mlp_dim or hidden_dim
         h = nn.Dense(mlp_dim, name="mlp_0")(h)
         h = nn.LayerNorm(epsilon=1e-5, name="mlp_norm")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU is exact-erf
         return nn.Dense(self.output_dim, name="mlp_1")(h)
 
 

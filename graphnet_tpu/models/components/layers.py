@@ -27,7 +27,9 @@ Activation = Callable[[jax.Array], jax.Array]
 
 ACTIVATIONS = {
     "relu": nn.relu,
-    "gelu": nn.gelu,
+    # exact (erf) form: torch nn.GELU/F.gelu default is exact, while
+    # flax nn.gelu defaults to the tanh approximation (~1e-3 differences)
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
     "silu": nn.silu,
     "tanh": jnp.tanh,

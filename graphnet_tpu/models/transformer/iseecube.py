@@ -150,7 +150,9 @@ class ISeeCube(GNN):
             x = x + h
             h = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x)
             h = nn.Dense(self.mlp_dim, name=f"fc1_{i}")(h)
-            h = nn.Dense(self.hidden_dim, name=f"fc2_{i}")(nn.gelu(h))
+            h = nn.Dense(self.hidden_dim, name=f"fc2_{i}")(
+                nn.gelu(h, approximate=False)  # torchscale uses F.gelu
+            )
             x = x + h
 
         x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)

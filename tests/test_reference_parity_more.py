@@ -1,0 +1,293 @@
+"""Golden-activation parity vs the EXECUTED reference: TITO + DeepIce.
+
+Companion to ``tests/test_reference_parity.py`` (DynEdge): imports the
+actual reference source from ``/root/reference/src/graphnet`` through the
+``tests/refshim`` dependency shims and compares per-layer activations of
+the running reference models against our flax implementations with ported
+weights.
+
+Covered here:
+  * DynEdgeTITO (`gnn/dynedge_kaggle_tito.py:244-278`): per-DynTrans-block
+    activations (EdgeConvTito + residual + LayerNorm + masked transformer,
+    `components/layers.py:117-197`), post-processing, readout.
+  * DeepIce (`gnn/icemix.py:127-167`): FourierEncoder embedding
+    (`components/embedding.py:112-136`), rel-bias sandwich blocks,
+    cls-token transformer stack — plain, scaled-embedding, and
+    include_dynedge (nested gelu/LayerNorm/skip_readout DynEdge) variants.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests import refshim
+
+if not refshim.reference_available():  # pragma: no cover
+    pytest.skip("no reference checkout", allow_module_level=True)
+
+import jax
+import jax.numpy as jnp
+
+from graphnet_tpu.batch import make_batch
+from graphnet_tpu.ops import knn_graph as our_knn
+
+LENGTHS = (17, 24, 9, 31)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return refshim.load_reference()
+
+
+def _random_events(seed, n_features, lengths=LENGTHS, dom_like=False):
+    """Per-event [L, n_features] arrays: xyz (possibly DOM-like repeated),
+    time, then extra columns; column 5 (aux) is binary as DeepIce's
+    nn.Embedding requires (`embedding.py:126`)."""
+    rng = np.random.default_rng(seed)
+    events = []
+    for L in lengths:
+        if dom_like:
+            n_doms = max(3, L // 4)
+            doms = rng.normal(size=(n_doms, 3)).astype(np.float32)
+            xyz = doms[rng.integers(0, n_doms, L)]
+        else:
+            xyz = rng.normal(size=(L, 3)).astype(np.float32)
+        rest = rng.normal(size=(L, n_features - 3)).astype(np.float32)
+        e = np.concatenate([xyz, rest], axis=1)
+        if n_features >= 6:
+            e[:, 5] = (e[:, 5] > 0).astype(np.float32)
+        events.append(e)
+    return events
+
+
+def _to_torch_batch(events, knn_cols=3, k=8):
+    import torch_cluster  # the shim
+
+    x = torch.from_numpy(np.concatenate(events, axis=0))
+    batch = torch.cat(
+        [
+            torch.full((len(e),), i, dtype=torch.long)
+            for i, e in enumerate(events)
+        ]
+    )
+    edge_index = torch_cluster.knn_graph(x[:, :knn_cols], k=k, batch=batch)
+    n_pulses = torch.tensor([len(e) for e in events], dtype=torch.float32)
+    return x, edge_index, batch, n_pulses
+
+
+def _flatten_ours(padded, lengths):
+    padded = np.asarray(padded)
+    return np.concatenate(
+        [padded[b, :L] for b, L in enumerate(lengths)], axis=0
+    )
+
+
+def _rel_err(ref_arr, ours):
+    ref_arr = np.asarray(ref_arr)
+    ours = np.asarray(ours)
+    return np.abs(ref_arr - ours).max() / (np.abs(ref_arr).max() + 1e-6)
+
+
+def _port_backbone(port_fn, ref_model, our_model, example_batch):
+    params = our_model.init(jax.random.PRNGKey(0), example_batch)
+    sd = {"backbone." + k: v for k, v in ref_model.state_dict().items()}
+    template = {"params": {"backbone": params["params"]}}
+    ported = port_fn(sd, template)
+    return {"params": ported["params"]["backbone"]}
+
+
+# ---------------------------------------------------------------------------
+# DynEdgeTITO
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dom_like", [False, True])
+def test_tito_activation_parity(ref, dom_like):
+    """Per-DynTrans-block activations of the EXECUTED reference
+    DynEdgeTITO match ours with ported weights (static kNN edges computed
+    identically on both sides)."""
+    from graphnet.models.gnn import DynEdgeTITO as RefTITO
+    from torch_geometric.data import Data
+
+    from graphnet_tpu.models.gnn.dynedge_kaggle_tito import (
+        DynEdgeTITO as OurTITO,
+    )
+    from graphnet_tpu.utils.weight_port import port_tito_state_dict
+
+    events = _random_events(13 if dom_like else 5, 4, dom_like=dom_like)
+    lengths = [len(e) for e in events]
+
+    torch.manual_seed(0)
+    ref_model = RefTITO(nb_inputs=4).eval()
+    n_blocks = len(ref_model._conv_layers)
+
+    x, edge_index, batch, n_pulses = _to_torch_batch(events)
+    captured = {}
+    hooks = [
+        conv.register_forward_hook(
+            lambda m, a, o, i=i: captured.__setitem__(
+                f"conv_{i}", o.detach().numpy()
+            )
+        )
+        for i, conv in enumerate(ref_model._conv_layers)
+    ]
+    hooks.append(
+        ref_model._post_processing.register_forward_hook(
+            lambda m, a, o: captured.__setitem__("post", o.detach().numpy())
+        )
+    )
+    data = Data(x=x, edge_index=edge_index)
+    data.batch = batch
+    data.n_pulses = n_pulses
+    with torch.no_grad():
+        ref_out = ref_model(data).numpy()
+    for h in hooks:
+        h.remove()
+
+    our_model = OurTITO(nb_inputs=4)
+    b = make_batch(events, length=max(LENGTHS))
+    # the reference gets static edges from GraphDefinition's KNNEdges
+    # (k=8, columns [0,1,2], `graphs/edges/edges.py:74-78`) — hand ours
+    # the identical graph
+    idx, emask = our_knn(b.x[..., :3], b.mask, k=8)
+    b = b.replace(edges=idx, edge_mask=emask)
+
+    params = _port_backbone(port_tito_state_dict, ref_model, our_model, b)
+    out, state = our_model.apply(
+        params, b, capture_intermediates=True, mutable=["intermediates"]
+    )
+    inter = state["intermediates"]
+
+    for i in range(n_blocks):
+        ours = _flatten_ours(
+            inter[f"conv_{i}"]["__call__"][0], lengths
+        ).astype(np.float32)
+        err = _rel_err(captured[f"conv_{i}"], ours)
+        tol = 5e-5 * (i + 1)
+        assert err < tol, f"conv_{i}: rel err {err:.2e} > {tol}"
+
+    our_post = _flatten_ours(
+        inter["post_processing"]["__call__"][0], lengths
+    )
+    err = _rel_err(captured["post"], our_post)
+    assert err < 5e-4, f"post-processing: rel err {err:.2e}"
+
+    err = _rel_err(ref_out, np.asarray(out))
+    assert err < 5e-4, f"readout: rel err {err:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# DeepIce
+# ---------------------------------------------------------------------------
+
+
+def _deepice_kwargs(include_dynedge=False):
+    kw = dict(
+        hidden_dim=96,
+        mlp_ratio=4,
+        seq_length=64,
+        depth=3,
+        head_size=16,
+        depth_rel=2,
+        n_rel=1,
+        n_features=6,
+    )
+    if include_dynedge:
+        kw["include_dynedge"] = True
+        kw["dynedge_args"] = dict(
+            nb_inputs=6,
+            nb_neighbours=8,
+            post_processing_layer_sizes=[336, 48],
+            dynedge_layer_sizes=[(128, 256), (336, 256)],
+            global_pooling_schemes=None,
+            activation_layer="gelu",
+            add_norm_layer=True,
+            skip_readout=True,
+        )
+    return kw
+
+
+@pytest.mark.parametrize(
+    "scaled,include_dynedge",
+    [(False, False), (True, False), (False, True)],
+    ids=["plain", "scaled", "dynedge"],
+)
+def test_deepice_activation_parity(ref, scaled, include_dynedge):
+    """Stage activations of the EXECUTED reference DeepIce match ours:
+    Fourier embedding, each rel-bias sandwich block, final cls-token
+    output (`gnn/icemix.py:127-167`)."""
+    from graphnet.models.gnn.icemix import DeepIce as RefDeepIce
+    from torch_geometric.data import Data
+
+    from graphnet_tpu.models.gnn.icemix import DeepIce as OurDeepIce
+    from graphnet_tpu.utils.weight_port import port_deepice_state_dict
+
+    kw = _deepice_kwargs(include_dynedge)
+    kw["scaled_emb"] = scaled
+    events = _random_events(21, kw["n_features"], dom_like=include_dynedge)
+    lengths = [len(e) for e in events]
+
+    torch.manual_seed(0)
+    tkw = dict(kw)
+    tkw["scaled_emb"] = scaled
+    ref_model = RefDeepIce(**tkw).eval()
+
+    x, edge_index, batch, n_pulses = _to_torch_batch(events)
+    captured = {}
+    hooks = [
+        ref_model.fourier_ext.register_forward_hook(
+            lambda m, a, o: captured.__setitem__(
+                "fourier", o.detach().numpy()
+            )
+        )
+    ]
+    for i, blk in enumerate(ref_model.sandwich):
+        hooks.append(
+            blk.register_forward_hook(
+                lambda m, a, o, i=i: captured.__setitem__(
+                    f"sandwich_{i}", o.detach().numpy()
+                )
+            )
+        )
+    data = Data(x=x, edge_index=edge_index)
+    data.batch = batch
+    data.n_pulses = n_pulses
+    with torch.no_grad():
+        ref_out = ref_model(data).numpy()
+    for h in hooks:
+        h.remove()
+
+    our_model = OurDeepIce(**{
+        k: (tuple(v) if isinstance(v, list) else v) for k, v in kw.items()
+    })
+    b = make_batch(events, length=max(LENGTHS))
+    params = _port_backbone(
+        port_deepice_state_dict, ref_model, our_model, b
+    )
+    out, state = our_model.apply(
+        params, b, capture_intermediates=True, mutable=["intermediates"]
+    )
+    inter = state["intermediates"]
+
+    # Fourier embedding: [B, L, fourier_out] dense on both sides (the
+    # reference runs on the padded array_to_sequence layout, so padded
+    # rows carry garbage — compare valid rows only)
+    ours_f = _flatten_ours(
+        inter["fourier_ext"]["__call__"][0], lengths
+    )
+    ref_f = _flatten_ours(captured["fourier"], lengths)
+    err = _rel_err(ref_f, ours_f)
+    assert err < 5e-5, f"fourier: rel err {err:.2e}"
+
+    for i in range(kw["depth_rel"]):
+        ours_s = _flatten_ours(
+            inter[f"sandwich_{i}"]["__call__"][0], lengths
+        )
+        ref_s = _flatten_ours(captured[f"sandwich_{i}"], lengths)
+        err = _rel_err(ref_s, ours_s)
+        tol = 2e-4 * (i + 1)
+        assert err < tol, f"sandwich_{i}: rel err {err:.2e} > {tol}"
+
+    err = _rel_err(ref_out, np.asarray(out))
+    assert err < 1e-3, f"cls output: rel err {err:.2e}"

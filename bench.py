@@ -735,46 +735,128 @@ def bench_inference(compute_dtype="bfloat16") -> dict:
     }
 
 
-def a100_pyg_estimate(res: dict, baseline_cpu: float) -> dict:
-    """Documented estimate of the reference stack (PyG+torch, A100) on the
-    canonical DynEdge config — the BASELINE.md comparison point that cannot
-    be measured here.  Derivation and assumptions: docs/architecture.md
-    §2a.  Two independent routes, reported as a range:
+def measure_reference_cpu() -> dict:
+    """Run the EXECUTED reference DynEdge (via tests/refshim) on this
+    machine's CPU — the measured PyG-baseline anchor BASELINE.md demands.
+    Subprocess (the shims + torch must not pollute this jax process);
+    cached in ``.bench_baseline.json`` by the caller."""
+    import subprocess
+    import sys
 
-    (1) FLOP route: sparse-formulation FLOPs per event x assumed PyG GNN
-        MFU on A100 TF32 (5-15%, gather/scatter-bound workloads).
-    (2) Scaling route: measured torch-CPU dense baseline x published
-        A100-vs-server-CPU training speedups for PyG workloads (20-60x).
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(__file__), "tools", "measure_reference_cpu.py"
+            ),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def a100_pyg_estimate(res: dict, ref_cpu: dict) -> dict:
+    """Single argued estimate of the reference stack (PyG+torch eager,
+    A100 SXM4) on the canonical DynEdge config, with error bars — the
+    BASELINE.md "≥5x A100+PyG" comparison point (no A100 on this machine).
+
+    Anchor: the ACTUAL reference code measured on this CPU via
+    tests/refshim (``ref_cpu``), proving the workload model (flop count,
+    GEMM fraction 0.38, kNN fraction 0.06) against reality.
+
+    A100 model, per step (B=128, mean n=96 pulses/event):
+      t = t_gemm + t_mem + t_knn + t_launch + t_host
+    * t_gemm: exact edge-MLP/post/readout GEMM flops at fp32 non-tensor
+      -core peak 19.5 TFLOP/s.  AS SHIPPED the reference runs fp32 eager —
+      torch defaults allow_tf32=False since 1.12 and neither the reference
+      nor Lightning enables TF32 or AMP (checked: no set_float32_matmul
+      /precision flag anywhere in /root/reference).  cuBLAS efficiency
+      0.85 [0.7, 0.95] at these shapes ([98k,672]x[672,336]).
+    * t_mem: eager non-GEMM HBM traffic (gather, sub, cat, 2 relus,
+      scatter per conv layer, fwd+bwd) at 1555 GB/s x 0.75 [0.6, 0.9].
+    * t_knn: 5 torch_cluster brute-force rebuilds (tiny flops, atomics)
+      — 1.5 ms allowance [0.5x, 2x].
+    * t_launch + t_host: ~700 CUDA kernels x 5 us + ~2 ms PyG/Lightning
+      per-step Python (collate/Data dispatch) [0.5x, 2x].
+
+    Sensitivity: with TF32 manually enabled (NOT the shipped default)
+    t_gemm drops 8x and the stack becomes memory/launch-bound; reported
+    as ``tf32_enabled_events_per_s``.
     """
-    # sparse FLOP count per event at mean occupancy of the bench batch
-    n = 0.75 * L  # mean valid pulses in the synthetic batch
+    n = 0.75 * L  # mean valid pulses per event in the bench batch
     e = K * n
-    d_in = D + 5 + D  # features + global variables
+    d_in = D + 5 + D  # features + global variables broadcast to nodes
+
+    # --- exact GEMM flops and eager non-GEMM bytes, per event ----------
     conv_dims = [(2 * d_in, 128, 256)] + [(2 * 256, 336, 256)] * 3
-    flops = 0.0
+    gemm_flops = 0.0
+    ngemm_bytes = 0.0
     for d2, h1, h2 in conv_dims:
-        flops += 2 * e * (d2 * h1 + h1 * h2)  # fwd edge MLPs
+        gemm_flops += 2 * e * (d2 * h1 + h1 * h2)
+        d_node = d2 // 2
+        # eager fwd: gather write [e,d] + read; sub r/r/w; cat r+w [e,2d];
+        # relu r+w on [e,h1] and [e,h2]; scatter read [e,h2] + write [n,h2]
+        fwd = (
+            e * d_node * 2  # gather
+            + e * d_node * 3  # x_j - x_i
+            + e * d2 * 2  # cat
+            + e * h1 * 2  # relu 1
+            + e * h2 * 2  # relu 2
+            + e * h2
+            + n * h2  # scatter-add
+        )
+        ngemm_bytes += 4 * fwd
     post_in = d_in + 4 * 256
-    flops += 2 * n * (post_in * 336 + 336 * 256)
-    flops += 2 * (4 * 256) * 128
-    flops *= 3  # fwd + bwd (~2x fwd)
-    # kNN: 5 rebuilds, n^2 distance x small dim (subset<=4) — minor FLOPs
-    flops += 5 * 2 * n * n * 4 * 3
-    tf32_peak = 156e12
-    route1 = [0.05 * tf32_peak / flops, 0.15 * tf32_peak / flops]
-    route2 = [baseline_cpu * 20, baseline_cpu * 60]
-    lo = min(route1[0], route2[0])
-    hi = max(route1[1], route2[1])
+    gemm_flops += 2 * n * (post_in * 336 + 336 * 256)
+    gemm_flops += 2 * (4 * 256) * 128
+    gemm_flops *= 3  # fwd + bwd (~2x fwd)
+    ngemm_bytes += 4 * (n * post_in * 2 + n * (336 + 256) * 2)
+    ngemm_bytes *= 3  # bwd traffic ~2x fwd
+
+    F = gemm_flops * B  # per step
+    BYTES = ngemm_bytes * B
+
+    def step_time(eff_gemm, eff_bw, ovh_scale, gemm_peak=19.5e12):
+        t_gemm = F / (gemm_peak * eff_gemm)
+        t_mem = BYTES / (1555e9 * eff_bw)
+        t_knn = 1.5e-3 * ovh_scale
+        t_launch = 700 * 5e-6 * ovh_scale
+        t_host = 2e-3 * ovh_scale
+        return t_gemm + t_mem + t_knn + t_launch + t_host
+
+    t_point = step_time(0.85, 0.75, 1.0)
+    t_best = step_time(0.95, 0.90, 0.5)  # everything breaks PyG's way
+    t_worst = step_time(0.70, 0.60, 2.0)
+    est = B / t_point
+    hi = B / t_best  # optimistic-for-the-reference bound
+    lo = B / t_worst
+    # cross-check: measured reference-CPU x published A100-vs-server-CPU
+    # end-to-end eager GNN training speedups (20-60x)
+    xcheck = [
+        round(ref_cpu["ref_cpu_events_per_s"] * 20, 0),
+        round(ref_cpu["ref_cpu_events_per_s"] * 60, 0),
+    ]
+    tf32 = B / step_time(0.77, 0.75, 1.0, gemm_peak=156e12)
     ours = res["events_per_s"]
     return {
-        "events_per_s_range": [round(lo, 0), round(hi, 0)],
-        "sparse_flops_per_event": round(flops, 0),
-        "speedup_vs_estimate_range": [
-            round(ours / hi, 1),
-            round(ours / lo, 1),
-        ],
-        "assumptions": "A100 TF32 156 TFLOP/s; PyG GNN MFU 5-15%; "
-        "alt route: torch-CPU measured x20-60",
+        "events_per_s": round(est, 0),
+        "events_per_s_bounds": [round(lo, 0), round(hi, 0)],
+        "speedup_point": round(ours / est, 1),
+        "speedup_conservative": round(ours / hi, 1),
+        "tf32_enabled_events_per_s": round(tf32, 0),
+        "speedup_vs_tf32_enabled": round(ours / tf32, 1),
+        "gemm_flops_per_step": round(F, 0),
+        "eager_non_gemm_bytes_per_step": round(BYTES, 0),
+        "cpu_cross_check_events_per_s": xcheck,
+        "reference_cpu_measured": ref_cpu,
+        "assumptions": "A100 SXM4 40GB: fp32 19.5 TFLOP/s (TF32 OFF — "
+        "torch default, nothing in the reference enables it), HBM "
+        "1555 GB/s; cuBLAS eff 0.85 [0.7,0.95]; BW eff 0.75 [0.6,0.9]; "
+        "700 kernels x 5us + 2ms host per step [0.5x,2x]; "
+        "derivation docs/architecture.md §2a",
     }
 
 
@@ -911,13 +993,24 @@ def _guard_backend(probe_timeout_s: int = 180) -> str:
 def main() -> None:
     backend_note = _guard_backend()
     cache = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+    cached = {}
     if os.path.exists(cache):
         with open(cache) as f:
-            baseline = json.load(f)["torch_cpu_events_per_s"]
-    else:
-        baseline = bench_torch_cpu_baseline()
-        with open(cache, "w") as f:
-            json.dump({"torch_cpu_events_per_s": baseline}, f)
+            cached = json.load(f)
+    if "torch_cpu_events_per_s" not in cached:
+        cached["torch_cpu_events_per_s"] = bench_torch_cpu_baseline()
+    if "reference_cpu" not in cached:
+        try:
+            cached["reference_cpu"] = measure_reference_cpu()
+        except Exception as exc:
+            cached["reference_cpu"] = {
+                "error": f"{type(exc).__name__}: {exc}",
+                "ref_cpu_events_per_s": float("nan"),
+            }
+    with open(cache, "w") as f:
+        json.dump(cached, f)
+    baseline = cached["torch_cpu_events_per_s"]
+    ref_cpu = cached["reference_cpu"]
 
     res = bench_jax(compute_dtype="bfloat16")
     # the fp32 comparison doubles compile time; opt-in via BENCH_FP32=1
@@ -981,7 +1074,7 @@ def main() -> None:
                     "e2e_loader": e2e,
                     "inference": _section(bench_inference),
                     "a100_pyg_estimate": _section(
-                        a100_pyg_estimate, res, baseline
+                        a100_pyg_estimate, res, ref_cpu
                     ),
                 },
             }

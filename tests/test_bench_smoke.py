@@ -22,9 +22,10 @@ def test_bench_jax_and_roofline(tiny):
     roof = bench.roofline_detail(res)
     assert roof["flops_per_step"] == res["step_flops"]
     assert "arithmetic_intensity_logical" in roof
-    est = bench.a100_pyg_estimate(res, baseline_cpu=27.6)
-    lo, hi = est["events_per_s_range"]
-    assert 0 < lo < hi
+    est = bench.a100_pyg_estimate(res, {"ref_cpu_events_per_s": 35.1})
+    lo, hi = est["events_per_s_bounds"]
+    assert 0 < lo < est["events_per_s"] < hi
+    assert est["speedup_conservative"] <= est["speedup_point"]
 
 
 def test_bench_e2e_loader_section(tiny):

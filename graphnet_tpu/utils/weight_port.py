@@ -226,6 +226,16 @@ def port_convnet_state_dict(
     if "bn_mean" in bb:
         _fill(bb, "bn_mean", take("backbone.batchnorm1.running_mean"))
         _fill(bb, "bn_var", take("backbone.batchnorm1.running_var"))
+    elif "backbone.batchnorm1.running_mean" in sd:
+        import warnings
+
+        warnings.warn(
+            "state_dict carries batchnorm1 running statistics but the "
+            "template has no bn_mean/bn_var params — eval predictions "
+            "will NOT reproduce torch. Build the template from "
+            "ConvNet(frozen_batchnorm=True).",
+            stacklevel=2,
+        )
 
     for name in ("linear1", "linear2", "linear3", "linear4", "linear5", "out"):
         _fill(bb[name], "kernel", take(f"backbone.{name}.weight").T)
@@ -293,6 +303,17 @@ def port_particlenet_state_dict(
             if "mean" in bn:
                 _fill(bn, "mean", take(f"{prefix}.{nid}.running_mean"))
                 _fill(bn, "var", take(f"{prefix}.{nid}.running_var"))
+            elif f"{prefix}.{nid}.running_mean" in sd:
+                import warnings
+
+                warnings.warn(
+                    "state_dict carries BatchNorm running statistics "
+                    "but the template has no frozen mean/var params — "
+                    "eval predictions will NOT reproduce torch. Build "
+                    "the template from "
+                    "ParticleNeT(frozen_batchnorm=True).",
+                    stacklevel=2,
+                )
 
     readout_ids, _ = _sequential_positions(sd, "backbone._readout")
     for j, lid in enumerate(readout_ids):
@@ -595,6 +616,18 @@ def _build_component(cfg: Dict[str, Any]) -> Any:
     # the reference accepts a bare string for one pooling scheme
     if isinstance(args.get("global_pooling_schemes"), str):
         args["global_pooling_schemes"] = (args["global_pooling_schemes"],)
+    # a hand-written DynEdge config may OMIT global_pooling_schemes
+    # entirely; the reference constructor default is None (node-level)
+    # while our flax default is the 4-scheme tuple — inject the
+    # reference default so translation matches (reference
+    # ModelConfig YAMLs always record every argument, so zoo configs
+    # never hit this)
+    if (
+        name == "DynEdge"
+        and "global_pooling_schemes" in known
+        and "global_pooling_schemes" not in args
+    ):
+        args["global_pooling_schemes"] = None
     obj = cls(**args)
     if dropped:
         import warnings
@@ -632,10 +665,12 @@ def from_reference_config(path: str) -> Tuple[Any, Optional[Any]]:
     tasks = _translate(arguments.pop("tasks"))
     backbone = _translate(arguments.pop("backbone"))
 
-    # a pooling-free backbone emits node-level latents (the reference's
-    # pulse-cleaner pattern, QUESO SplitInIcePulses_cleaner): its task
-    # heads predict per node
-    if not getattr(backbone, "global_pooling_schemes", True) and not (
+    # a backbone that never pools emits node-level latents (the
+    # reference's pulse-cleaner pattern, QUESO SplitInIcePulses_cleaner)
+    # and so does one that skips the readout entirely (reference
+    # dynedge.py returns x before pooling when skip_readout): its task
+    # heads predict per node either way
+    if not getattr(backbone, "global_pooling_schemes", True) or (
         getattr(backbone, "skip_readout", False)
     ):
         tasks = [
@@ -742,12 +777,11 @@ def from_reference_dataset_config(path: str) -> Any:
         )
 
     def one_or_ensemble(sel):
-        # a list of per-dataset selections (each a string or id-list)
-        # becomes an ensemble (reference `dataset.py:131-137`); a flat
-        # list of event ids is a single selection
-        if isinstance(sel, list) and sel and isinstance(
-            sel[0], (list, str)
-        ):
+        # only a list of selection STRINGS becomes an ensemble
+        # (reference `dataset.py:131-137` checks isinstance(.., str));
+        # any other list (flat event ids, list of id-lists) is passed
+        # to a single dataset, mirroring reference Dataset.from_config
+        if isinstance(sel, list) and sel and isinstance(sel[0], str):
             return EnsembleDataset([one(s) for s in sel])
         return one(sel)
 

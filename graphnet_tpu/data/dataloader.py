@@ -368,7 +368,7 @@ class DataLoader:
                     continue
                 yield chunk
 
-    def _fetch(self, idxs: List[int]):
+    def _fetch(self, idxs: List[int], use_pool: bool = True):
         """Fetch a batch of events.
 
         Uses the dataset's batched ``get_events`` (one storage query per
@@ -376,19 +376,18 @@ class DataLoader:
         split into per-thread chunks.  Threads, not processes: SQLite
         queries and the numpy graph build release the GIL, and
         SQLiteDataset keeps per-thread connections (``sqlite_dataset.py``).
+
+        ``use_pool=False`` forces the serial route — REQUIRED when the
+        caller already runs on the worker pool (``_one_batch`` under the
+        pipelined iterator): a pool task waiting on sub-tasks of the
+        same bounded pool can deadlock.
         """
         get_events = getattr(self.dataset, "get_events", None)
-        if self.num_workers <= 0:
+        if self.num_workers <= 0 or not use_pool:
             if get_events is not None:
                 return get_events(idxs)
             return [self.dataset[i] for i in idxs]
-        if self._pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._pool = ThreadPoolExecutor(
-                max_workers=self.num_workers,
-                thread_name_prefix="graphnet-loader",
-            )
+        self._ensure_pool()
         if get_events is not None:
             chunks = [
                 c.tolist()
@@ -402,6 +401,16 @@ class DataLoader:
                 out.extend(part)
             return out
         return list(self._pool.map(self.dataset.__getitem__, idxs))
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix="graphnet-loader",
+            )
+        return self._pool
 
     def _try_fast(self, idxs: List[int]):
         """Vectorised batch path (``collate_from_arrays``): two SQL
@@ -460,38 +469,88 @@ class DataLoader:
             )
         return self._buckets
 
+    def _one_batch(
+        self, idxs: List[int], use_pool: bool = True
+    ) -> Optional[Tuple[EventBatch, int, int]]:
+        """The full host pipeline for one index batch: fetch → graph
+        build → collate.  Returns ``(batch, valid_slots, total_slots)``
+        or None (every event dropped / unsupported fast-path config
+        falls through to the Event route internally)."""
+        fast = self._try_fast(idxs)
+        if fast is not None:
+            batch, valid, total = fast
+            return None if batch is None else (batch, valid, total)
+        events = self._fetch(idxs, use_pool=use_pool)
+        batch = collate_events(
+            events,
+            buckets=self.buckets,
+            min_pulses=self.min_pulses,
+        )
+        if batch is None:
+            return None
+        # padding accounting from the HOST event list, never from
+        # batch.n_pulses: a synchronous device->host readback here
+        # permanently degrades device_put throughput on tunneled
+        # runtimes (measured: 1.6 -> 33 ms per batch after one
+        # readback) — the hot loader path must stay D2H-free
+        L = batch.max_length
+        valid = sum(
+            min(e.n_pulses, L)
+            for e in events
+            if e.n_pulses >= self.min_pulses
+        )
+        return batch, valid, batch.batch_size * batch.max_length
+
     def __iter__(self) -> Iterator[EventBatch]:
         self.buckets  # resolve "auto"
         self._valid_slots = 0
         self._total_slots = 0
+        if self.num_workers > 0:
+            yield from self._iter_pipelined()
+            return
         for idxs in self._batches():
-            fast = self._try_fast(idxs)
-            if fast is not None:
-                batch, valid, total = fast
+            res = self._one_batch(idxs)
+            if res is not None:
+                batch, valid, total = res
+                self._valid_slots += valid
+                self._total_slots += total
+                yield batch
+
+    def _iter_pipelined(self) -> Iterator[EventBatch]:
+        """Batch-LEVEL parallelism: each worker runs the whole pipeline
+        (SQL fetch → graph build → pad/collate) for a different batch,
+        with a bounded in-flight window and in-order yield.
+
+        Whole-batch jobs beat intra-batch chunking on small hosts: the
+        inner loops (native sqlite fetch, numpy build, native pad) are
+        GIL-free, so concurrent batches overlap near-linearly, while
+        chunking one batch multiplies fixed per-query/per-dispatch costs
+        (profiled on the 4-core e2e host: 6.2 ms/batch serial → 7.4 ms
+        chunked 4-way vs ~3.3 ms pipelined 4-deep)."""
+        from collections import deque
+
+        pool = self._ensure_pool()
+        inflight: deque = deque()
+        depth = self.num_workers + 1
+
+        def drain() -> Optional[EventBatch]:
+            res = inflight.popleft().result()
+            if res is None:
+                return None
+            batch, valid, total = res
+            self._valid_slots += valid
+            self._total_slots += total
+            return batch
+
+        for idxs in self._batches():
+            inflight.append(pool.submit(self._one_batch, idxs, False))
+            if len(inflight) >= depth:
+                batch = drain()
                 if batch is not None:
-                    self._valid_slots += valid
-                    self._total_slots += total
                     yield batch
-                continue
-            events = self._fetch(idxs)
-            batch = collate_events(
-                events,
-                buckets=self.buckets,
-                min_pulses=self.min_pulses,
-            )
+        while inflight:
+            batch = drain()
             if batch is not None:
-                # padding accounting from the HOST event list, never from
-                # batch.n_pulses: a synchronous device->host readback here
-                # permanently degrades device_put throughput on tunneled
-                # runtimes (measured: 1.6 -> 33 ms per batch after one
-                # readback) — the hot loader path must stay D2H-free
-                L = batch.max_length
-                self._valid_slots += sum(
-                    min(e.n_pulses, L)
-                    for e in events
-                    if e.n_pulses >= self.min_pulses
-                )
-                self._total_slots += batch.batch_size * batch.max_length
                 yield batch
 
     @property

@@ -188,6 +188,44 @@ class TestParallelFetch:
                 np.asarray(b.n_pulses), np.asarray(a.n_pulses)
             )
 
+    def test_pipelined_slow_path_and_accounting(self):
+        """The pipelined iterator must also match serial on the
+        per-Event (slow) route, and keep padding accounting identical."""
+        import os
+        import numpy as np
+        import pytest
+        from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
+        from graphnet_tpu.data.constants import FEATURES, TRUTH
+        from graphnet_tpu.data.dataloader import DataLoader
+        from graphnet_tpu.data.sqlite_dataset import SQLiteDataset
+        from graphnet_tpu.models.detector.prometheus import Prometheus
+        from graphnet_tpu.models.graphs import KNNGraph
+
+        if not os.path.exists(EXAMPLE_SQLITE_DATA):
+            pytest.skip("example data not present")
+        ds = SQLiteDataset(
+            path=EXAMPLE_SQLITE_DATA,
+            graph_definition=KNNGraph(detector=Prometheus()),
+            pulsemaps="total",
+            features=FEATURES.PROMETHEUS,
+            truth=TRUTH.PROMETHEUS,
+            truth_table="mc_truth",
+        )
+        serial = DataLoader(ds, batch_size=16, shuffle=False)
+        serial._fast_ok = False  # force the Event route
+        sb = list(serial)
+        piped = DataLoader(
+            ds, batch_size=16, shuffle=False, num_workers=3
+        )
+        piped._fast_ok = False
+        pb = list(piped)
+        assert len(sb) == len(pb)
+        for a, b in zip(sb, pb):
+            np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x))
+        assert piped.padding_efficiency == pytest.approx(
+            serial.padding_efficiency
+        )
+
 
 class TestCachingLoader:
     """CachingLoader: epoch 0 materialises, later epochs replay from the

@@ -65,14 +65,33 @@ class DeploymentModule(Logger):
 
     def __call__(
         self, events: Union[Event, List[Event]]
-    ) -> np.ndarray:
-        """Predict on one or more events; returns ``[n_events, n_cols]``,
-        one row per input event (0-pulse events, which cannot be
-        collated, yield NaN rows so row alignment is preserved)."""
+    ) -> Union[np.ndarray, List[np.ndarray]]:
+        """Predict on one or more events.
+
+        Graph-level tasks: returns ``[n_events, n_cols]``, one row per
+        input event (0-pulse events, which cannot be collated, yield NaN
+        rows so row alignment is preserved).
+
+        Node-level tasks (the reference's pulse-cleaner pattern, e.g.
+        QUESO ``SplitInIcePulses_cleaner`` —
+        ``deployment/icecube/cleaning_module.py:34-79``): returns a LIST
+        of per-event ``[n_pulses_i, n_cols]`` arrays, one per input
+        event (per-pulse outputs are ragged by nature)."""
         if isinstance(events, Event):
             events = [events]
         if self._predict_fn is None:
             self._compile()
+        node_level = [
+            bool(getattr(t, "node_level", False))
+            for t in self.model.tasks
+        ]
+        if any(node_level):
+            if not all(node_level):
+                raise NotImplementedError(
+                    "DeploymentModule cannot mix node-level and "
+                    "graph-level tasks in one model"
+                )
+            return self._call_node_level(events)
         kept = [i for i, e in enumerate(events) if e.n_pulses >= 1]
         ncols = len(self.prediction_columns)
         full = np.full((len(events), ncols), np.nan, np.float32)
@@ -88,6 +107,32 @@ class DeploymentModule(Logger):
             [np.asarray(o)[:n_real] for o in outs], axis=1
         )
         return full
+
+    def _call_node_level(
+        self, events: List[Event]
+    ) -> List[np.ndarray]:
+        ncols = len(self.prediction_columns)
+        out = [
+            np.full((e.n_pulses, ncols), np.nan, np.float32)
+            for e in events
+        ]
+        kept = [i for i, e in enumerate(events) if e.n_pulses >= 1]
+        if not kept:
+            return out
+        batch = collate_events(
+            [events[i] for i in kept], min_pulses=1
+        )
+        n_real = batch.batch_size
+        L = batch.max_length
+        batch = self._pad_batch_size(batch)
+        outs = self._predict_fn(self.params, batch)  # each [B, L, d]
+        stacked = np.concatenate(
+            [np.asarray(o)[:n_real] for o in outs], axis=2
+        )  # [n_real, L, ncols]
+        for j, i in enumerate(kept):
+            n = min(events[i].n_pulses, L)
+            out[i][:n] = stacked[j, :n]
+        return out
 
     def export_serving(
         self,

@@ -142,7 +142,44 @@ class CuratedDataset(GraphNeTDataModule):
 
 
 class ERDAHostedDataset(CuratedDataset):
-    """Datasets hosted on the ERDA service (download requires network;
-    see :meth:`CuratedDataset.prepare_data`)."""
+    """Datasets hosted on the ERDA service (reference
+    ``curated_datamodule.py:252-282``): a sharelink hash resolves to one
+    ``.tar.gz`` which is downloaded and extracted into ``dataset_dir``.
 
+    Downloads go through ``urllib`` (not the reference's
+    ``os.system(wget ...)``) so ``file://`` mirrors work — tests exercise
+    the full download→extract→layout→load path without egress — and
+    extraction uses :mod:`tarfile` with the ``data`` filter (no path
+    traversal)."""
+
+    _mirror = "https://sid.erda.dk/share_redirect"
     _file_hashes: Dict[str, str] = {}
+
+    def _download(self) -> None:
+        import shutil
+        import tarfile
+        import urllib.error
+        import urllib.request
+
+        file_hash = self._file_hashes[self._backend]
+        url = f"{self._mirror}/{file_hash}"
+        os.makedirs(self.dataset_dir, exist_ok=True)
+        archive = os.path.join(
+            self.dataset_dir, file_hash + ".tar.gz"
+        )
+        try:
+            with urllib.request.urlopen(url) as r, open(
+                archive, "wb"
+            ) as f:
+                shutil.copyfileobj(r, f)
+        except (urllib.error.URLError, OSError) as e:
+            raise RuntimeError(
+                f"{type(self).__name__}: could not download {url} "
+                f"(no network egress?). Place the extracted files in "
+                f"{self.dataset_dir} manually."
+            ) from e
+        try:
+            with tarfile.open(archive, "r:gz") as tf:
+                tf.extractall(self.dataset_dir, filter="data")
+        finally:
+            os.remove(archive)

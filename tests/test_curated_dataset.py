@@ -89,3 +89,84 @@ class TestCuratedPlumbing:
                 graph_definition=KNNGraph(detector=Prometheus()),
                 download_dir=str(tmp_path / "nonexistent"),
             )
+
+
+class TestERDADownloadPath:
+    """The FULL hosted-dataset path — download (file:// mirror) →
+    tar.gz extract → directory layout → SQLiteDataset load → batches —
+    without network egress (reference ``curated_datamodule.py:270-282``
+    wgets + untars the same way)."""
+
+    def _archive(self, tmp_path):
+        """A sharelink-style archive containing a one-table copy of the
+        bundled DB under the name PublicPrometheusDataset expects."""
+        import shutil
+        import tarfile
+
+        payload = tmp_path / "payload"
+        payload.mkdir()
+        shutil.copy(
+            EXAMPLE_SQLITE_DATA, payload / "prometheus-events.db"
+        )
+        mirror = tmp_path / "mirror"
+        mirror.mkdir()
+        # ERDA sharelinks have no .tar.gz suffix — neither does ours
+        with tarfile.open(str(mirror / "ABC123"), "w:gz") as tf:
+            tf.add(
+                str(payload / "prometheus-events.db"),
+                arcname="prometheus-events.db",
+            )
+        return mirror
+
+    def test_download_extract_layout_load(self, tmp_path):
+        from graphnet_tpu.datasets.prometheus_datasets import (
+            PublicPrometheusDataset,
+        )
+
+        mirror = self._archive(tmp_path)
+
+        class BundledHosted(PublicPrometheusDataset):
+            _experiment = "file:// fixture"
+            _mirror = f"file://{mirror}"
+            _file_hashes = {"sqlite": "ABC123"}
+            # the bundled DB's schema, not the public Prometheus one
+            _pulsemaps = ["total"]
+            _event_truth = ["total_energy", "injection_zenith"]
+
+        ds = BundledHosted(
+            graph_definition=KNNGraph(detector=Prometheus()),
+            download_dir=str(tmp_path / "dl"),
+            train_dataloader_kwargs={"batch_size": 8},
+        )
+        # extracted layout: <download_dir>/<ClassName>/<one .db>
+        ddir = ds.dataset_dir
+        assert os.path.isdir(ddir)
+        files = os.listdir(ddir)
+        assert files == ["prometheus-events.db"], files
+        batch = next(iter(ds.train_dataloader()))
+        assert batch.batch_size == 8
+        assert np.isfinite(np.asarray(batch.x)).all()
+
+        # second construction reuses the extracted files (no download)
+        again = BundledHosted(
+            graph_definition=KNNGraph(detector=Prometheus()),
+            download_dir=str(tmp_path / "dl"),
+            train_dataloader_kwargs={"batch_size": 8},
+        )
+        assert os.listdir(again.dataset_dir) == files
+
+    def test_bad_mirror_raises_clearly(self, tmp_path):
+        from graphnet_tpu.datasets.prometheus_datasets import (
+            PublicPrometheusDataset,
+        )
+
+        class Broken(PublicPrometheusDataset):
+            _experiment = "broken mirror"
+            _mirror = f"file://{tmp_path}/void"
+            _file_hashes = {"sqlite": "NOPE"}
+
+        with pytest.raises(RuntimeError, match="could not download"):
+            Broken(
+                graph_definition=KNNGraph(detector=Prometheus()),
+                download_dir=str(tmp_path / "dl2"),
+            )

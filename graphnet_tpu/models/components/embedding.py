@@ -59,6 +59,10 @@ class FourierEncoder(nn.Module):
     output_dim: int = 384
     scaled: bool = False
     n_features: int = 6
+    # compute dtype for the MLP matmuls only — the sinusoidal features
+    # and LayerNorm statistics stay fp32 (their precision is what the
+    # executed-reference parity tests pin down)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, seq_lengths: Array) -> Array:
@@ -94,10 +98,10 @@ class FourierEncoder(nn.Module):
 
         h = jnp.concatenate(embeddings, axis=-1)
         mlp_dim = self.mlp_dim or hidden_dim
-        h = nn.Dense(mlp_dim, name="mlp_0")(h)
+        h = nn.Dense(mlp_dim, dtype=self.dtype, name="mlp_0")(h)
         h = nn.LayerNorm(epsilon=1e-5, name="mlp_norm")(h)
         h = nn.gelu(h, approximate=False)  # torch nn.GELU is exact-erf
-        return nn.Dense(self.output_dim, name="mlp_1")(h)
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="mlp_1")(h)
 
 
 class SpacetimeEncoder(nn.Module):
@@ -106,6 +110,9 @@ class SpacetimeEncoder(nn.Module):
     ``AttentionRel`` (reference ``embedding.py:139-175``)."""
 
     seq_length: int = 32
+    # compute dtype for the projection; also halves the HBM footprint of
+    # the materialised [B, L, L, seq_length] pair tensor under bf16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, x_query: Optional[Array] = None) -> Array:
@@ -126,4 +133,6 @@ class SpacetimeEncoder(nn.Module):
         emb = SinusoidalPosEmb(dim=self.seq_length, name="sin_emb")(
             1024.0 * jnp.clip(four_distance, -4.0, 4.0)
         )
-        return nn.Dense(self.seq_length, name="projection")(emb)
+        return nn.Dense(
+            self.seq_length, dtype=self.dtype, name="projection"
+        )(emb)

@@ -23,6 +23,11 @@ from graphnet_tpu.ops import (
     knn_graph,
 )
 
+# opt-in switch for the fused EdgeConv+kNN kernel — measured slower
+# in-model than the standalone kernels (see EdgeConv.knn_k), kept for
+# future shapes where the balance may differ
+FUSE_CONV_KNN = False
+
 Activation = Callable[[jax.Array], jax.Array]
 
 ACTIVATIONS = {
@@ -106,6 +111,33 @@ class EdgeConv(nn.Module):
     add_norm_layer: bool = False
     tito: bool = False
     dtype: Optional[jnp.dtype] = None
+    # when set (k, (lo, hi)): also return the kNN of the conv output over
+    # columns [lo:hi], computed INSIDE the fused kernel while the output
+    # is still in VMEM.  Engages only on the fused path with add/max
+    # aggregation at L <= 128; the caller must handle the tuple return.
+    #
+    # MEASURED NEGATIVE RESULT (v5e, canonical DynEdge B=128 L=128, bf16,
+    # paired in-process ablation 2026-08-19): the fusion wins its
+    # microbench (0.67 vs 0.79 ms/layer) but LOSES in-model — fwd 3.01
+    # vs 2.90 ms, full step 6.32 vs 6.24 ms.  The conv->kNN "glue" it
+    # removes was not the cost; the kNN work itself is, and the kernel
+    # pays it serially per event inside the conv program while the
+    # standalone kNN kernel pipelines across its own grid.  Default OFF
+    # (FUSE_CONV_KNN); kernel + tests kept for the record.
+    knn_k: int = 0
+    knn_subset: Optional[Tuple[int, int]] = None
+
+    def _use_fused_knn(self, L: int, mask) -> bool:
+        return (
+            FUSE_CONV_KNN
+            and self.knn_k > 0
+            and self.knn_subset is not None
+            and mask is not None
+            and self.aggr in ("add", "max")  # mean divides AFTER the
+            # kernel, which would change the coords the kNN sees
+            and L <= 128
+            and self._use_fused(L)
+        )
 
     def _use_fused(self, L: int) -> bool:
         """The fused Pallas kernel covers 2-layer (leaky-)relu add/max
@@ -122,21 +154,66 @@ class EdgeConv(nn.Module):
             return False
         if jax.default_backend() != "tpu":
             return False
+        from graphnet_tpu.parallel.graph_sharding import (
+            current_graph_mesh,
+        )
+
+        if current_graph_mesh() is not None:
+            # GSPMD cannot partition a pallas_call; under node-axis
+            # sharding the XLA formulation (which GSPMD shards) runs
+            return False
         max_l = 2048 if self.dtype == jnp.bfloat16 else 1024
         return L >= 8 and L <= max_l and L % min(L, 128) == 0
 
+    def _halo_hints(self, x: jax.Array):
+        """Under node-axis (``graph``) sharding, steer GSPMD's halo:
+        all-gather the conv INPUT at the compute dtype (bf16 halves the
+        bytes; d_in=256 < h0=336 columns for DynEdge) and compute the
+        neighbour-term dense redundantly per shard — ONE gather per
+        layer whose cotangent is the matching reduce-scatter, while the
+        edge-MLP FLOPs stay sharded over query rows.  Without the hint
+        GSPMD replicates the fp32 ``[B, L, h0]`` neighbour term instead
+        (docs/architecture.md §4a).  Returns ``(x_for_nbr_dense,
+        constrain_out)``."""
+        from graphnet_tpu.parallel.graph_sharding import (
+            current_graph_mesh,
+        )
+
+        gmesh = current_graph_mesh()
+        if gmesh is None or x.ndim != 3:
+            return x, lambda out: out
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        xg = x.astype(self.dtype) if self.dtype is not None else x
+        x_nbr = jax.lax.with_sharding_constraint(
+            xg, NamedSharding(gmesh, P("data", None, None))
+        )
+
+        def constrain_out(out):
+            return jax.lax.with_sharding_constraint(
+                out, NamedSharding(gmesh, P("data", "graph", None))
+            )
+
+        return x_nbr, constrain_out
+
     @nn.compact
     def __call__(
-        self, x: jax.Array, idx: jax.Array, edge_mask: jax.Array
-    ) -> jax.Array:
+        self,
+        x: jax.Array,
+        idx: jax.Array,
+        edge_mask: jax.Array,
+        mask: Optional[jax.Array] = None,
+    ):
         act = resolve_activation(self.activation)
         h0 = self.nn_sizes[0]
+        x_nbr, constrain_out = self._halo_hints(x)
         # self-term: x_i @ (W1 - W2) + bias   (tito: W1 - W2)
         a = nn.Dense(h0, dtype=self.dtype, name="self_dense")(x)
         # neighbour-term: x_j @ W2            (tito: x_j @ (W2 + W3))
         b = nn.Dense(
             h0, use_bias=False, dtype=self.dtype, name="nbr_dense"
-        )(x)
+        )(x_nbr)
 
         if len(self.nn_sizes) == 2 and not self.add_norm_layer:
             # own the second layer's params so both the fused kernel and
@@ -153,6 +230,17 @@ class EdgeConv(nn.Module):
                 b2c = b2.astype(self.dtype)
             else:
                 w2c, b2c = w2, b2
+            if self._use_fused_knn(x.shape[1], mask):
+                from graphnet_tpu.ops.edgeconv_pallas import (
+                    fused_edgeconv_knn,
+                )
+
+                slope = 0.01 if self.activation == "leaky_relu" else 0.0
+                lo, hi = self.knn_subset
+                return fused_edgeconv_knn(
+                    a, b, idx, edge_mask, mask, w2c, b2c,
+                    self.aggr, slope, self.knn_k, lo, hi,
+                )
             if self._use_fused(x.shape[1]):
                 from graphnet_tpu.ops.edgeconv_pallas import (
                     fused_edgeconv,
@@ -177,8 +265,10 @@ class EdgeConv(nn.Module):
                 )
                 + b2c
             )
-            return edge_reduce(
-                msgs.astype(jnp.float32), edge_mask, self.aggr
+            return constrain_out(
+                edge_reduce(
+                    msgs.astype(jnp.float32), edge_mask, self.aggr
+                )
             )
 
         msgs = a[:, :, None, :] + gather_neighbors(b, idx)
@@ -196,8 +286,10 @@ class EdgeConv(nn.Module):
                 name="nn",
             )(msgs)
         # reduce in fp32 regardless of compute dtype (sum accuracy)
-        return edge_reduce(
-            msgs.astype(jnp.float32), edge_mask, self.aggr
+        return constrain_out(
+            edge_reduce(
+                msgs.astype(jnp.float32), edge_mask, self.aggr
+            )
         )
 
 
@@ -225,14 +317,23 @@ class DynEdgeConv(nn.Module):
         idx: jax.Array,
         edge_mask: jax.Array,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        x = EdgeConv(
+        # contiguous feature subsets ride the fused EdgeConv+kNN kernel
+        # (the recomputed adjacency comes out of the conv kernel itself)
+        fs = tuple(self.features_subset)
+        contiguous = fs == tuple(range(fs[0], fs[0] + len(fs)))
+        res = EdgeConv(
             self.nn_sizes,
             aggr=self.aggr,
             activation=self.activation,
             add_norm_layer=self.add_norm_layer,
             dtype=self.dtype,
+            knn_k=self.nb_neighbors if contiguous else 0,
+            knn_subset=(fs[0], fs[0] + len(fs)) if contiguous else None,
             name="conv",
-        )(x, idx, edge_mask)
+        )(x, idx, edge_mask, mask=mask)
+        if isinstance(res, tuple):
+            return res
+        x = res
         coords = x[..., list(self.features_subset)]
         new_idx, new_edge_mask = knn_graph(coords, mask, k=self.nb_neighbors)
         return x, new_idx, new_edge_mask
@@ -462,6 +563,7 @@ class Mlp(nn.Module):
     activation: str = "gelu"
     dropout: float = 0.0
     deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -469,9 +571,9 @@ class Mlp(nn.Module):
         hidden = self.hidden_features or D
         out = self.out_features or D
         act = resolve_activation(self.activation)
-        x = act(nn.Dense(hidden, name="fc1")(x))
+        x = act(nn.Dense(hidden, dtype=self.dtype, name="fc1")(x))
         x = nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
-        x = nn.Dense(out, name="fc2")(x)
+        x = nn.Dense(out, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout, deterministic=self.deterministic)(x)
         return x
 
@@ -493,6 +595,7 @@ class AttentionRel(nn.Module):
     # materialised [B, L, L, hd] tensor — O(L²·hd) memory becomes
     # O(L²·hd / rel_chunks) peak (long-L DeepIce)
     rel_chunks: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -508,9 +611,15 @@ class AttentionRel(nn.Module):
         H = self.num_heads
         hd = D // H
         scale = hd ** -0.5
-        q = nn.Dense(D, use_bias=self.qkv_bias, name="proj_q")(q_in)
-        k = nn.Dense(D, use_bias=False, name="proj_k")(k_in)
-        v = nn.Dense(D, use_bias=self.qkv_bias, name="proj_v")(v_in)
+        q = nn.Dense(
+            D, use_bias=self.qkv_bias, dtype=self.dtype, name="proj_q"
+        )(q_in)
+        k = nn.Dense(
+            D, use_bias=False, dtype=self.dtype, name="proj_k"
+        )(k_in)
+        v = nn.Dense(
+            D, use_bias=self.qkv_bias, dtype=self.dtype, name="proj_v"
+        )(v_in)
 
         def heads(t):
             return t.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
@@ -535,7 +644,9 @@ class AttentionRel(nn.Module):
                 q, k, v, key_padding_mask, scale=1.0
             )  # q already carries the 1/sqrt(hd) scale
             out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
-            return nn.Dense(D, name="proj")(out)
+            if self.dtype is not None:
+                out = out.astype(self.dtype)
+            return nn.Dense(D, dtype=self.dtype, name="proj")(out)
 
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -552,6 +663,10 @@ class AttentionRel(nn.Module):
                 key_padding_mask[:, None, None, :], logits, neg
             )
         attn = jax.nn.softmax(logits, axis=-1)
+        if self.dtype is not None:
+            # softmax stats stay fp32; the attention-weight matmuls run
+            # at the compute dtype (bf16 MXU path)
+            attn = attn.astype(self.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3)  # [B, L, H, hd]
         if rel_pos_bias is not None:
@@ -559,9 +674,11 @@ class AttentionRel(nn.Module):
             out = out + jnp.einsum(
                 "bhij,bijc->bihc", attn, rel_pos_bias,
                 preferred_element_type=jnp.float32,
-            )
+            ).astype(out.dtype)
         out = out.reshape(B, L, D)
-        return nn.Dense(D, name="proj")(out)
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
+        return nn.Dense(D, dtype=self.dtype, name="proj")(out)
 
     def _chunked_rel(
         self, q, k, v, rel_source, key_padding_mask, B, L, D, H, hd
@@ -590,15 +707,19 @@ class AttentionRel(nn.Module):
                     key_padding_mask[:, None, None, :], logits, neg
                 )
             attn = jax.nn.softmax(logits, axis=-1)
+            if self.dtype is not None:
+                attn = attn.astype(self.dtype)
             oc = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
             oc = oc.transpose(0, 2, 1, 3)  # [B, tq, H, hd]
             oc = oc + jnp.einsum(
                 "bhij,bijc->bihc", attn, rel,
                 preferred_element_type=jnp.float32,
-            )
+            ).astype(oc.dtype)
             outs.append(oc)
         out = jnp.concatenate(outs, axis=1).reshape(B, L, D)
-        return nn.Dense(D, name="proj")(out)
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
+        return nn.Dense(D, dtype=self.dtype, name="proj")(out)
 
 
 class BlockRel(nn.Module):
@@ -611,6 +732,7 @@ class BlockRel(nn.Module):
     init_values: Optional[float] = None
     deterministic: bool = True
     rel_chunks: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -621,11 +743,12 @@ class BlockRel(nn.Module):
         rel_source=None,
     ) -> jax.Array:
         D = x.shape[-1]
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = AttentionRel(
             self.num_heads,
             qkv_bias=True,
             rel_chunks=self.rel_chunks,
+            dtype=self.dtype,
             name="attn",
         )(
             h, h, h, rel_pos_bias=rel_pos_bias,
@@ -636,19 +759,20 @@ class BlockRel(nn.Module):
             gamma1 = self.param(
                 "gamma_1", nn.initializers.constant(self.init_values), (D,)
             )
-            h = gamma1 * h
+            h = gamma1.astype(h.dtype) * h
         x = x + DropPath(self.drop_path, self.deterministic, name="dp1")(h)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         h = Mlp(
             hidden_features=int(D * self.mlp_ratio),
             deterministic=self.deterministic,
+            dtype=self.dtype,
             name="mlp",
         )(h)
         if self.init_values is not None:
             gamma2 = self.param(
                 "gamma_2", nn.initializers.constant(self.init_values), (D,)
             )
-            h = gamma2 * h
+            h = gamma2.astype(h.dtype) * h
         return x + DropPath(self.drop_path, self.deterministic, name="dp2")(h)
 
 
@@ -661,6 +785,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     init_values: Optional[float] = None
     deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -669,25 +794,26 @@ class Block(nn.Module):
         key_padding_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         D = x.shape[-1]
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        h = MultiHeadAttention(self.num_heads, name="attn")(
-            h, key_padding_mask=key_padding_mask
-        )
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = MultiHeadAttention(
+            self.num_heads, dtype=self.dtype, name="attn"
+        )(h, key_padding_mask=key_padding_mask)
         if self.init_values is not None:
             gamma1 = self.param(
                 "gamma_1", nn.initializers.constant(self.init_values), (D,)
             )
-            h = gamma1 * h
+            h = gamma1.astype(h.dtype) * h
         x = x + DropPath(self.drop_path, self.deterministic, name="dp1")(h)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         h = Mlp(
             hidden_features=int(D * self.mlp_ratio),
             deterministic=self.deterministic,
+            dtype=self.dtype,
             name="mlp",
         )(h)
         if self.init_values is not None:
             gamma2 = self.param(
                 "gamma_2", nn.initializers.constant(self.init_values), (D,)
             )
-            h = gamma2 * h
+            h = gamma2.astype(h.dtype) * h
         return x + DropPath(self.drop_path, self.deterministic, name="dp2")(h)

@@ -42,6 +42,10 @@ class DeepIce(GNN):
     # instead of materialising [B, L, L, head_size] — peak memory of the
     # bias path drops by this factor (use for L >= ~1024)
     rel_bias_chunks: int = 1
+    # "bfloat16" runs every transformer matmul (qkv/proj/MLP/Fourier-MLP
+    # and the attention-weight products) at bf16 with fp32 softmax and
+    # LayerNorm statistics; None = fp32 throughout (the parity default)
+    compute_dtype: Optional[str] = None
 
     @property
     def nb_outputs(self) -> int:
@@ -51,6 +55,7 @@ class DeepIce(GNN):
     def __call__(self, batch: EventBatch) -> jax.Array:
         x0, mask = batch.x, batch.mask
         B, L, _ = x0.shape
+        cdtype = self._resolved_compute_dtype()
 
         fourier_out = (
             self.hidden_dim // 2
@@ -62,9 +67,12 @@ class DeepIce(GNN):
             output_dim=fourier_out,
             scaled=self.scaled_emb,
             n_features=self.n_features,
+            dtype=cdtype,
             name="fourier_ext",
         )(x0, batch.n_pulses)
-        rel_encoder = SpacetimeEncoder(self.head_size, name="rel_pos")
+        rel_encoder = SpacetimeEncoder(
+            self.head_size, dtype=cdtype, name="rel_pos"
+        )
         if self.rel_bias_chunks > 1:
             rel_pos_bias = None
             rel_source = (rel_encoder, x0)
@@ -88,14 +96,19 @@ class DeepIce(GNN):
                 add_norm_layer=True,
                 skip_readout=True,
             )
+            args = dict(args)
+            args.setdefault("compute_dtype", self.compute_dtype)
             node_latents = DynEdge(**args, name="dyn_edge")(batch)
-            x = jnp.concatenate([x, node_latents], axis=2)
+            x = jnp.concatenate(
+                [x, node_latents.astype(x.dtype)], axis=2
+            )
 
         num_heads = self.hidden_dim // self.head_size
         for i in range(self.depth_rel):
             x = BlockRel(
                 num_heads=num_heads,
                 rel_chunks=self.rel_bias_chunks,
+                dtype=cdtype,
                 name=f"sandwich_{i}",
             )(
                 x,
@@ -117,7 +130,7 @@ class DeepIce(GNN):
         )
         cls = jnp.broadcast_to(
             cls_token[None, :, :], (B, 1, self.hidden_dim)
-        )
+        ).astype(x.dtype)
         x = jnp.concatenate([cls, x], axis=1)
         full_mask = jnp.concatenate(
             [jnp.ones((B, 1), bool), mask], axis=1
@@ -128,7 +141,9 @@ class DeepIce(GNN):
                 num_heads=num_heads,
                 mlp_ratio=float(self.mlp_ratio),
                 init_values=1.0,
+                dtype=cdtype,
                 name=f"blocks_{i}",
             )(x, key_padding_mask=full_mask)
 
-        return x[:, 0]
+        # the readout head (task affine) runs fp32
+        return x[:, 0].astype(jnp.float32)

@@ -374,3 +374,241 @@ def _fused_bwd(tile, aggr, slope, res, g):
 
 
 fused_edgeconv.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused EdgeConv + next-layer kNN
+# ---------------------------------------------------------------------------
+
+
+_KNN_BIG = 1e30
+
+
+def _fwd_knn_kernel(
+    a_ref,
+    b_ref,
+    idx_ref,
+    em_ref,
+    nm_ref,
+    w2_ref,
+    b2_ref,
+    out_ref,
+    nidx_ref,
+    nem_ref,
+    *,
+    tl,
+    k,
+    aggr,
+    slope,
+    bb,
+    knn_k,
+    sub_lo,
+    sub_hi,
+):
+    """Fused EdgeConv + next-layer kNN: one program per ``bb`` whole
+    events (requires TL == L, i.e. L <= 128 buckets).  After the conv
+    output is computed it is STILL IN VMEM — the kNN of the next layer
+    (coords slice, per-event centering, distance matmul, streaming
+    k-selection) runs right here, deleting the HBM round-trip + relayout
+    glue between the conv and kNN kernels (the dominant kNN cost: the
+    standalone kNN kernel is ~2us while its glue costs ~0.9 ms of the
+    canonical forward).
+
+    The conv math is IDENTICAL to :func:`_fwd_kernel` (same
+    concat-selection contraction — the only 3D ops are the iota
+    selection build and the masked reduce, both proven Mosaic-legal
+    under bf16 in the production kernel).
+
+    Extra refs vs ``_fwd_kernel``:
+      nm_ref:   [bb, 1, L]   node validity (float 0/1)
+      nidx_ref: [bb, L, knn_k] out neighbour indices (int32)
+      nem_ref:  [bb, L, knn_k] out edge validity (float 0/1)
+    """
+    L = b_ref.shape[1]
+    big = jnp.float32(_KNN_BIG)
+    for e in range(bb):
+        a = a_ref[e]
+        b = b_ref[e]
+        idx = idx_ref[e]
+        em = em_ref[e]
+        nm = nm_ref[e, 0]  # [L]
+
+        sel = _selection_matrix(idx, tl, k, L, b.dtype)
+        ba = jnp.concatenate([b, a], axis=0)
+        z = jnp.dot(sel, ba, preferred_element_type=jnp.float32)
+        msgs = _lrelu(z, slope)
+        out = jnp.dot(
+            msgs.astype(w2_ref.dtype),
+            w2_ref[...],
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0][None, :]
+        out = _lrelu(out, slope)
+        H2 = out.shape[1]
+        out3 = out.reshape(tl, k, H2)
+        if aggr == "add":
+            red = jnp.sum(out3 * em[:, :, None], axis=1)
+        else:
+            neg = jnp.float32(-1e30)
+            m = jnp.max(
+                jnp.where(em[:, :, None] > 0.5, out3, neg), axis=1
+            )
+            has = jnp.max(em, axis=1)[:, None]
+            red = jnp.where(has > 0.5, m, 0.0)
+        out_ref[e] = red
+
+        # ---- kNN of the conv output (knn_graph semantics) ----
+        coords = red[:, sub_lo:sub_hi]  # [L, D_sub]
+        # per-event centering (translation-invariant ranking, fp32
+        # accuracy — mirrors knn_graph_pallas's pre-pass)
+        n_valid = jnp.maximum(jnp.sum(nm), 1.0)
+        center = jnp.sum(coords * nm[:, None], axis=0) / n_valid
+        coords = coords - center[None, :]
+        csq = jnp.sum(coords * coords, axis=1)
+        cross = jax.lax.dot_general(
+            coords,
+            coords,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d2 = jnp.maximum(csq[:, None] + csq[None, :] - 2.0 * cross, 0.0)
+        d2 = jnp.where(nm[None, :] > 0.5, d2, big)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tl, L), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tl, L), 0)
+        d2 = jnp.where(col == row, big, d2)
+        # streaming k-selection: ties go to the LOWER index, matching
+        # knn_graph (min over candidate columns at the row minimum)
+        for kk in range(knn_k):
+            m = jnp.min(d2, axis=1, keepdims=True)
+            is_min = d2 == m
+            cand = jnp.where(is_min, col, L)
+            argm = jnp.min(cand, axis=1)
+            nidx_ref[e, :, kk] = argm
+            nem_ref[e, :, kk] = jnp.where(
+                (m[:, 0] < big * 0.5) & (nm > 0.5), 1.0, 0.0
+            )
+            d2 = jnp.where(col == argm[:, None], big, d2)
+
+
+def _edgeconv_knn_fwd_impl(
+    a, b, idx, edge_mask, nmask, w2, b2, *, aggr, slope, knn_k, sub_lo,
+    sub_hi
+):
+    B, L, H1 = a.shape
+    H2 = w2.shape[1]
+    k = idx.shape[2]
+    tl = L  # whole-event tiles only (L <= 128 buckets)
+    bb = _events_per_program(B, L, H1)
+    em = edge_mask.astype(jnp.float32)
+    fm = nmask.astype(jnp.float32)[:, None, :]
+    out, nidx, nem = pl.pallas_call(
+        functools.partial(
+            _fwd_knn_kernel,
+            tl=tl,
+            k=k,
+            aggr=aggr,
+            slope=slope,
+            bb=bb,
+            knn_k=knn_k,
+            sub_lo=sub_lo,
+            sub_hi=sub_hi,
+        ),
+        grid=(B // bb,),
+        in_specs=[
+            pl.BlockSpec(
+                (bb, tl, H1), lambda bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bb, L, H1), lambda bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bb, tl, k), lambda bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bb, tl, k), lambda bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bb, 1, L), lambda bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (H1, H2), lambda bi: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, H2), lambda bi: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (bb, tl, H2), lambda bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bb, tl, knn_k), lambda bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bb, tl, knn_k), lambda bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, H2), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, knn_k), jnp.int32),
+            jax.ShapeDtypeStruct((B, L, knn_k), jnp.float32),
+        ],
+    )(a, b, idx, em, fm, w2, b2.reshape(1, -1))
+    return out, nidx, nem > 0.5
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11)
+)
+def fused_edgeconv_knn(
+    a, b, idx, edge_mask, nmask, w2, b2, aggr="add", slope=0.0,
+    knn_k=8, sub_lo=0, sub_hi=3
+):
+    """Fused EdgeConv forward + kNN of its output in one kernel.
+
+    Same conv math as :func:`fused_edgeconv`; additionally returns the
+    next layer's adjacency computed from ``out[..., sub_lo:sub_hi]``
+    with :func:`graphnet_tpu.ops.knn.knn_graph` semantics (per-event
+    centering, no self loops, ties toward lower index).  Deletes the
+    HBM round-trip and relayout glue between the conv and kNN kernels
+    (VERDICT r2 item 2 — measured ~0.9 ms of the 2.9 ms forward).
+
+    a/b/idx/edge_mask/w2/b2 as in fused_edgeconv; nmask: [B, L] node
+    validity.  Requires L <= 128 (whole-event tiles).
+    Returns ``(out [B,L,H2] fp32, new_idx [B,L,knn_k] int32,
+    new_edge_mask [B,L,knn_k] bool)``.
+    """
+    return _edgeconv_knn_fwd_impl(
+        a, b, idx, edge_mask, nmask, w2, b2,
+        aggr=aggr, slope=slope, knn_k=knn_k, sub_lo=sub_lo, sub_hi=sub_hi
+    )
+
+
+def _fused_knn_fwd(
+    a, b, idx, edge_mask, nmask, w2, b2, aggr, slope, knn_k, sub_lo,
+    sub_hi
+):
+    res = _edgeconv_knn_fwd_impl(
+        a, b, idx, edge_mask, nmask, w2, b2,
+        aggr=aggr, slope=slope, knn_k=knn_k, sub_lo=sub_lo, sub_hi=sub_hi
+    )
+    return res, (a, b, idx, edge_mask, w2, b2)
+
+
+def _fused_knn_bwd(aggr, slope, knn_k, sub_lo, sub_hi, res, g):
+    a, b, idx, edge_mask, w2, b2 = res
+    g_out = g[0]  # idx/edge_mask cotangents are zero (non-diff outputs)
+    da, db, _, _, dw2, db2 = _fused_bwd(
+        a.shape[1], aggr, slope, (a, b, idx, edge_mask, w2, b2), g_out
+    )
+    return (da, db, None, None, None, dw2, db2)
+
+
+fused_edgeconv_knn.defvjp(_fused_knn_fwd, _fused_knn_bwd)

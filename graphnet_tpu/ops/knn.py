@@ -85,19 +85,49 @@ def knn_graph(
     return _knn_graph_xla(coords, mask, k, exclude_self)
 
 
-@partial(jax.jit, static_argnames=("k", "exclude_self"))
 def _knn_graph_xla(
     coords: jax.Array,
     mask: jax.Array,
     k: int,
     exclude_self: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """XLA implementation: [B, L, L] distances + lax.top_k."""
+    """XLA implementation: [B, L, L] distances + lax.top_k.
+
+    Under node-axis (``graph``) sharding the top_k is replaced by a
+    streaming k-selection: GSPMD's partitioning rule for sort/TopK
+    replicates the operand, which all-gathers the full ``[B, L, L]``
+    distance matrix (measured 100 of 107 MB/step of halo volume at
+    B=4, L=1024, g=4); k rounds of (min, argmin, mask) are pure
+    row-local reduces that stay sharded.  The streaming decision is a
+    static argument of the jitted impl (NOT read inside it — an inner
+    jit's jaxpr cache is keyed on avals only, so a context read inside
+    would go stale across outer traces).
+    """
+    from graphnet_tpu.parallel.graph_sharding import current_graph_mesh
+
+    streaming = current_graph_mesh() is not None
+    return _knn_graph_xla_impl(
+        coords, mask, k, exclude_self, streaming
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("k", "exclude_self", "streaming")
+)
+def _knn_graph_xla_impl(
+    coords: jax.Array,
+    mask: jax.Array,
+    k: int,
+    exclude_self: bool = True,
+    streaming: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
     B, L, _ = coords.shape
     d2 = pairwise_sq_dists(coords, mask)
     if exclude_self:
         eye = jnp.eye(L, dtype=bool)
         d2 = jnp.where(eye[None, :, :], _BIG, d2)
+    if streaming:
+        return _streaming_select(d2, mask, k)
     # top_k over negated distances: smallest distances, ties -> lower index.
     neg = -d2
     _, idx = jax.lax.top_k(neg, k)  # [B, L, k]
@@ -105,6 +135,29 @@ def _knn_graph_xla(
     chosen = jnp.take_along_axis(d2, idx, axis=-1)
     edge_mask = (chosen < _BIG * 0.5) & mask[:, :, None]
     return idx.astype(jnp.int32), edge_mask
+
+
+def _streaming_select(
+    d2: jax.Array, mask: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """k rounds of (row-min, lowest-index argmin, mask out) over the
+    last axis — identical results (incl. tie order) to the top_k path,
+    but expressed in ops whose GSPMD rules keep the row sharding."""
+    B, L = d2.shape[0], d2.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L, L), 2)
+    idxs = []
+    dists = []
+    for _ in range(k):
+        m = jnp.min(d2, axis=2, keepdims=True)  # [B, L, 1]
+        cand = jnp.where(d2 == m, col, L)
+        a = jnp.min(cand, axis=2)  # [B, L] lowest-index argmin
+        idxs.append(a)
+        dists.append(m[..., 0])
+        d2 = jnp.where(col == a[:, :, None], _BIG, d2)
+    idx = jnp.stack(idxs, axis=2).astype(jnp.int32)
+    chosen = jnp.stack(dists, axis=2)
+    edge_mask = (chosen < _BIG * 0.5) & mask[:, :, None]
+    return idx, edge_mask
 
 
 @partial(jax.jit, static_argnames=("k",))

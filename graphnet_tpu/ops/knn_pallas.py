@@ -75,7 +75,7 @@ def knn_graph_pallas(
     mask: jax.Array,
     k: int = 8,
     tile: int = 128,
-    events_per_program: int = 1,
+    events_per_program: int = 2,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched kNN via the fused Pallas kernel.
 
@@ -99,11 +99,12 @@ def knn_graph_pallas(
     coords = (coords - center[:, None, :]).astype(jnp.float32)
     fmask = mask.astype(jnp.float32)
 
-    # events per program (measured on a v5e at B=128, L=128: bb=1 is the
-    # fastest — 0.28 ms for the DynEdge layer; bb=4 costs ~0.3 ms MORE per
-    # train step because larger VMEM blocks serialise the DMA/compute
-    # pipeline that the 1-event grid overlaps; kept as an option for other
-    # shapes)
+    # events per program (swept on an idle v5e at B=128, L=128, k=8 —
+    # tools/bench_knn_kernel.py, 2026-08-19: bb=1 0.48 ms, bb=2 0.34 ms,
+    # bb=4 0.56 ms, bb=8 0.77 ms, XLA 1.79 ms.  bb=2 halves the
+    # per-program launch count while the two events' DMAs still overlap
+    # compute; larger blocks serialise the pipeline.  An earlier bb=1
+    # default came from a measurement polluted by host load.)
     bb = events_per_program if (L // tile == 1 and B % events_per_program == 0) else 1
 
     grid = (B // bb, L // tile)

@@ -20,11 +20,47 @@ schedule/overlap the collectives.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# ---------------------------------------------------------------------------
+# sharding hints: which mesh the model is being traced for
+# ---------------------------------------------------------------------------
+
+_GRAPH_MESH: contextvars.ContextVar[Optional[Mesh]] = (
+    contextvars.ContextVar("graphnet_graph_mesh", default=None)
+)
+
+
+@contextlib.contextmanager
+def graph_sharding_hints(mesh: Optional[Mesh]):
+    """Make ``mesh`` visible to model code during tracing.
+
+    Wrap the *call* of a jitted step (tracing happens inside the first
+    call, so the context is live exactly when module code runs); later
+    cache-hit dispatches don't re-trace and don't need it.  Only meshes
+    with a ``graph`` axis change behaviour — EdgeConv inserts
+    ``with_sharding_constraint`` halo hints (see
+    ``models/components/layers.py``); everything else is a no-op.
+    """
+    if mesh is None or "graph" not in getattr(mesh, "axis_names", ()):
+        yield
+        return
+    token = _GRAPH_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _GRAPH_MESH.reset(token)
+
+
+def current_graph_mesh() -> Optional[Mesh]:
+    """The mesh set by :func:`graph_sharding_hints`, or None."""
+    return _GRAPH_MESH.get()
 
 
 def make_dp_graph_mesh(

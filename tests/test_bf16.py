@@ -11,6 +11,7 @@ import jax.numpy as jnp
 from graphnet_tpu.batch import make_batch
 from graphnet_tpu.models.gnn.dynedge import DynEdge
 from graphnet_tpu.models.gnn.dynedge_kaggle_tito import DynEdgeTITO
+from graphnet_tpu.models.gnn.icemix import DeepIce
 
 
 def events(B=3, seed=0):
@@ -37,8 +38,29 @@ def events(B=3, seed=0):
             n_head=4,
             compute_dtype=cd,
         ),
+        lambda cd: DeepIce(
+            hidden_dim=64,
+            seq_length=32,
+            depth=2,
+            depth_rel=2,
+            n_rel=1,
+            head_size=16,
+            n_features=4,
+            compute_dtype=cd,
+        ),
+        lambda cd: DeepIce(
+            hidden_dim=64,
+            seq_length=32,
+            depth=1,
+            depth_rel=2,
+            n_rel=1,
+            head_size=16,
+            n_features=4,
+            rel_bias_chunks=4,
+            compute_dtype=cd,
+        ),
     ],
-    ids=["dynedge", "tito"],
+    ids=["dynedge", "tito", "deepice", "deepice_chunked"],
 )
 def test_bf16_close_to_fp32_and_params_fp32(make_model):
     batch = make_batch(events(), length=32)

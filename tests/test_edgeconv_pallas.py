@@ -187,3 +187,109 @@ def test_mean_via_add_kernel_plus_divide():
             atol=1e-4,
             err_msg=name,
         )
+
+
+# ---------------------------------------------------------------------------
+# fused EdgeConv + next-layer kNN
+# ---------------------------------------------------------------------------
+
+
+def _knn_inputs(B=3, L=32, H1=16, H2=8, k=4, seed=3):
+    rng = np.random.default_rng(seed)
+    a, b, idx, em, w2, b2 = make_inputs(B=B, L=L, H1=H1, H2=H2, k=k, seed=seed)
+    # node mask with ragged lengths; edges must respect it for realism
+    lengths = rng.integers(L // 2, L + 1, size=B)
+    mask = jnp.asarray(
+        np.arange(L)[None, :] < lengths[:, None]
+    )
+    em = em & mask[:, :, None] & jnp.take_along_axis(
+        jnp.broadcast_to(mask[:, None, :], (B, L, L)), idx, axis=2
+    )
+    return a, b, idx, em, mask, w2, b2
+
+
+def test_fused_knn_matches_composition():
+    """fused_edgeconv_knn == fused conv output + ops.knn_graph of it."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from graphnet_tpu.ops.edgeconv_pallas import (
+        fused_edgeconv,
+        fused_edgeconv_knn,
+    )
+    from graphnet_tpu.ops.knn import _knn_graph_xla
+
+    a, b, idx, em, mask, w2, b2 = _knn_inputs()
+    with pltpu.force_tpu_interpret_mode():
+        out_ref = fused_edgeconv(a, b, idx, em, w2, b2, 32, "add", 0.0)
+        out, nidx, nem = fused_edgeconv_knn(
+            a, b, idx, em, mask, w2, b2, "add", 0.0, 4, 0, 3
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+    )
+    ridx, rem = _knn_graph_xla(out_ref[..., 0:3], mask, 4)
+    # neighbour SETS must agree (tie order may differ only on exact ties,
+    # which random fp32 coords do not produce)
+    nem_np, rem_np = np.asarray(nem), np.asarray(rem)
+    np.testing.assert_array_equal(nem_np, rem_np)
+    for bi in range(nidx.shape[0]):
+        for i in range(nidx.shape[1]):
+            got = set(np.asarray(nidx)[bi, i][nem_np[bi, i]])
+            want = set(np.asarray(ridx)[bi, i][rem_np[bi, i]])
+            assert got == want, (bi, i, got, want)
+
+
+def test_fused_knn_gradients_match_plain_kernel():
+    """The VJP of fused_edgeconv_knn equals fused_edgeconv's (the kNN
+    outputs are non-differentiable extras)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from graphnet_tpu.ops.edgeconv_pallas import (
+        fused_edgeconv,
+        fused_edgeconv_knn,
+    )
+
+    a, b, idx, em, mask, w2, b2 = _knn_inputs(seed=4)
+
+    def loss_plain(a, b, w2, b2):
+        return jnp.sum(fused_edgeconv(a, b, idx, em, w2, b2, 32) ** 2)
+
+    def loss_knn(a, b, w2, b2):
+        out, nidx, nem = fused_edgeconv_knn(
+            a, b, idx, em, mask, w2, b2, "max", 0.0, 4, 0, 3
+        )
+        return jnp.sum(out ** 2)
+
+    def loss_plain_max(a, b, w2, b2):
+        return jnp.sum(
+            fused_edgeconv(a, b, idx, em, w2, b2, 32, "max") ** 2
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        g_plain = jax.grad(loss_plain_max, argnums=(0, 1, 2, 3))(
+            a, b, w2, b2
+        )
+        g_knn = jax.grad(loss_knn, argnums=(0, 1, 2, 3))(a, b, w2, b2)
+    for name, gp, gk in zip(("da", "db", "dw2", "db2"), g_plain, g_knn):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gp), rtol=1e-5, atol=1e-5,
+            err_msg=name,
+        )
+
+
+def test_fused_knn_single_node_event():
+    """An event with one valid node yields zero valid edges (matches
+    knn_graph's edge_mask semantics), not garbage."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from graphnet_tpu.ops.edgeconv_pallas import fused_edgeconv_knn
+
+    a, b, idx, em, mask, w2, b2 = _knn_inputs(seed=5)
+    mask = mask.at[0, 1:].set(False)  # event 0: a single valid node
+    em = em & mask[:, :, None]
+    with pltpu.force_tpu_interpret_mode():
+        out, nidx, nem = fused_edgeconv_knn(
+            a, b, idx, em, mask, w2, b2, "add", 0.0, 4, 0, 3
+        )
+    assert not np.asarray(nem)[0].any()
+    assert np.isfinite(np.asarray(out)).all()

@@ -12,16 +12,25 @@ from typing import Dict, Tuple
 import numpy as np
 
 
-def analyze(B: int = 4, L: int = 1024) -> Tuple[Dict[str, int], float]:
+def analyze(
+    B: int = 4,
+    L: int = 1024,
+    halo_hints: bool = True,
+    compute_dtype=None,
+) -> Tuple[Dict[str, int], float]:
     import jax
 
+    from graphnet_tpu.models.gnn.dynedge import DynEdge
     from graphnet_tpu.parallel.graph_sharding import (
+        graph_sharding_hints,
         make_dp_graph_mesh,
         shard_batch_nodes,
     )
     from tests.test_multidevice import _batch, _model
 
-    model = _model()
+    model = _model(
+        backbone=DynEdge(nb_inputs=4, compute_dtype=compute_dtype)
+    )
     batch = _batch(B=B, L=L, seed=7)
     mesh = make_dp_graph_mesh(2, 4)
     sharded = shard_batch_nodes(batch, mesh)
@@ -36,16 +45,26 @@ def analyze(B: int = 4, L: int = 1024) -> Tuple[Dict[str, int], float]:
     def step(p, b):
         return jax.value_and_grad(loss_fn)(p, b)
 
-    hlo = jax.jit(step).lower(params, sharded).compile().as_text()
+    import contextlib
+
+    ctx = (
+        graph_sharding_hints(mesh)
+        if halo_hints
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        hlo = jax.jit(step).lower(params, sharded).compile().as_text()
     ops: Dict[str, int] = {}
     for m in re.finditer(
-        r"(all-gather|all-reduce|reduce-scatter|collective-permute"
-        r"|all-to-all)[\.\w]*\(",
+        r"(all-gather-start|all-gather|all-reduce|reduce-scatter"
+        r"|collective-permute|all-to-all)[\.\w]*\(",
         hlo,
     ):
         ops[m.group(1)] = ops.get(m.group(1), 0) + 1
     ag_bytes = 0.0
-    for m in re.finditer(r"\n\s*%?\S*\s*=\s*(\S+)\s+all-gather", hlo):
+    for m in re.finditer(
+        r"\n\s*%?\S*\s*=\s*(\S+)\s+all-gather(?:-start)?", hlo
+    ):
         shape = m.group(1)
         if "[" in shape:
             dims = re.findall(r"\d+", shape.split("[")[1].split("]")[0])
@@ -65,6 +84,14 @@ if __name__ == "__main__":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    ops, ag_bytes = analyze()
-    print("collectives (fwd+bwd):", ops)
-    print(f"all-gather result volume: {ag_bytes / 1e6:.1f} MB/step")
+    for label, hints, cd in (
+        ("no hints, fp32 (r2 baseline)", False, None),
+        ("halo hints, fp32", True, None),
+        ("halo hints, bf16 (production)", True, "bfloat16"),
+    ):
+        ops, ag_bytes = analyze(halo_hints=hints, compute_dtype=cd)
+        print(f"[{label}] collectives (fwd+bwd):", ops)
+        print(
+            f"[{label}] all-gather result volume: "
+            f"{ag_bytes / 1e6:.1f} MB/step"
+        )

@@ -62,9 +62,10 @@ def _chip_peak():
 
 def _xla_step_cost(jitted, *args):
     """FLOPs and HBM bytes of one compiled executable, from XLA's own
-    cost model.  Returns ``(flops, bytes, compiled)``; the compiled
-    executable is reused by the caller's timing loop so the step is not
-    compiled twice (each compile is minutes on a tunneled runtime)."""
+    cost model.  Returns ``(flops, bytes, compiled)``.  CAUTION: do not
+    TIME the returned executable on the axon runtime — its dispatches
+    return without doing the device work (observed "achieved TFLOPs"
+    15x above chip peak); use it for cost analysis only."""
     try:
         compiled = jitted.lower(*args).compile()
         cost = compiled.cost_analysis()
@@ -125,7 +126,7 @@ def bench_jax(compute_dtype=None) -> dict:
     batch = _synthetic_batch()
     batch = jax.device_put(batch)
     params = model.init(jax.random.PRNGKey(0), batch)
-    optimizer = optax.adam(1e-3, eps=1e-3)
+    optimizer = optax.flatten(optax.adam(1e-3, eps=1e-3))
     opt_state = optimizer.init(params)
 
     @jax.jit
@@ -155,14 +156,6 @@ def bench_jax(compute_dtype=None) -> dict:
         )
         return params, opt_state, losses[-1]
 
-    # XLA's own cost model for one train step (roofline numerator);
-    # the AOT-compiled executable is reused for the dispatch timing below
-    step_flops, step_bytes, step_compiled = _xla_step_cost(
-        step, params, opt_state, batch
-    )
-    if step_compiled is not None:
-        step = step_compiled
-
     # compile + warmup both variants
     params, opt_state, loss = step(params, opt_state, batch)
     jax.block_until_ready(loss)
@@ -173,13 +166,25 @@ def bench_jax(compute_dtype=None) -> dict:
     dt_dispatch = (time.perf_counter() - t0) / N_STEPS
 
     p2, o2, loss = steps(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    jax.block_until_ready((p2, o2, loss))
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         p2, o2, loss = steps(p2, o2, batch)
-    jax.block_until_ready(loss)
+    # block on every output (see bench_deepice: scalar-only blocking has
+    # returned early on the tunneled runtime in some process states)
+    jax.block_until_ready((p2, o2, loss))
     dt = (time.perf_counter() - t0) / (reps * N_STEPS)
+
+    # XLA's own cost model for one train step (roofline numerator).
+    # MUST run AFTER the timing loops: .lower().compile() on a jit fn
+    # poisons its dispatch cache with an AOT executable that, on the
+    # tunneled (axon) runtime, returns WITHOUT doing the device work
+    # (diagnosed 2026-08-19: 41.6 ms/step plain jit vs 0.25 ms/step
+    # after lowering — "2954 achieved TFLOPs" on a 197-peak chip).
+    step_flops, step_bytes, _ = _xla_step_cost(
+        step, params, opt_state, batch
+    )
 
     events_per_s = B / dt
     n_edges = int(np.asarray(batch.mask).sum()) * K
@@ -275,7 +280,7 @@ def bench_tito_l1024(compute_dtype="bfloat16") -> dict:
         ),
     )
     params = model.init(jax.random.PRNGKey(0), batch)
-    optimizer = optax.adam(1e-3, eps=1e-3)
+    optimizer = optax.flatten(optax.adam(1e-3, eps=1e-3))
     opt_state = optimizer.init(params)
 
     # same chip-bound protocol as the headline section (N_STEPS scanned
@@ -300,28 +305,56 @@ def bench_tito_l1024(compute_dtype="bfloat16") -> dict:
         return params, opt_state, losses[-1]
 
     params, opt_state, loss = steps(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    float(loss)  # warmup + hard sync
     t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
+    for _ in range(3):
         params, opt_state, loss = steps(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    # the timed region ends at a SCALAR READBACK: on the tunneled
+    # runtime block_until_ready (even on every output) has returned
+    # before the device work finished in some process states, yielding
+    # impossible sub-ms steps (2954 "TFLOPs" on a 197-peak chip); a
+    # device_get of the final loss cannot complete early.  The readback
+    # degrades later device_puts in this process (CLAUDE.md), which is
+    # why main() runs this whole bench in a SUBPROCESS.
+    final_loss = float(loss)
+    reps = 3
     dt = (time.perf_counter() - t0) / (reps * n_inner)
-    return {
+    # cost analysis AFTER timing: lowering poisons the jit dispatch
+    # cache with a non-executing AOT executable on the axon runtime
+    # (see bench_jax)
+    flops, bytes_, _ = _xla_step_cost(
+        steps, params, opt_state, batch
+    )
+    res = {
         "events_per_s": round(Bt / dt, 1),
         "step_ms": round(dt * 1e3, 2),
         "batch": Bt,
         "max_len": Lt,
+        "step_flops": flops / n_inner,
+        "step_bytes": bytes_ / n_inner,
+        "final_loss": final_loss,
     }
+    res["roofline"] = roofline_detail(res)
+    rl = res["roofline"]
+    if (
+        rl.get("achieved_tflops")
+        and rl.get("peak_bf16_tflops")
+        and rl["achieved_tflops"] > rl["peak_bf16_tflops"]
+    ):
+        # faster than physics = the runtime lied about completion
+        res["timing_suspect"] = True
+    return res
 
 
 def bench_deepice(
-    B_d: int = 4, L_d: int = 768, model_kwargs: dict = None
+    B_d: int = 16, L_d: int = 768, model_kwargs: dict = None
 ) -> dict:
     """Third shape: DeepIce/IceMix (Kaggle-2nd-place transformer) at the
     IceMixNodes pulse budget (max_pulses=768, reference
     ``graphs/nodes/nodes.py:309``) — rel-bias blocks + 12 plain blocks,
-    flash attention engaged for the bias-free blocks at this L."""
+    bf16 compute, flash attention engaged for the bias-free blocks at
+    this L.  B=16 (vs the r2 bench's 4): the chip was starved at B=4
+    (12k tokens fill the MXU pipeline; events/s scales ~3x)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -357,6 +390,7 @@ def bench_deepice(
         backbone=DeepIce(
             n_features=6,
             rel_bias_chunks=4,
+            compute_dtype="bfloat16",
             **(model_kwargs or {}),
         ),
         tasks=(
@@ -367,7 +401,7 @@ def bench_deepice(
         ),
     )
     params = model.init(jax.random.PRNGKey(0), batch)
-    optimizer = optax.adam(1e-3, eps=1e-3)
+    optimizer = optax.flatten(optax.adam(1e-3, eps=1e-3))
     opt_state = optimizer.init(params)
     n_inner = max(4, N_STEPS // 4)
 
@@ -389,19 +423,45 @@ def bench_deepice(
         return params, opt_state, losses[-1]
 
     params, opt_state, loss = steps(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    float(loss)  # warmup + hard sync
     t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
+    for _ in range(3):
         params, opt_state, loss = steps(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    # the timed region ends at a SCALAR READBACK: on the tunneled
+    # runtime block_until_ready (even on every output) has returned
+    # before the device work finished in some process states, yielding
+    # impossible sub-ms steps (2954 "TFLOPs" on a 197-peak chip); a
+    # device_get of the final loss cannot complete early.  The readback
+    # degrades later device_puts in this process (CLAUDE.md), which is
+    # why main() runs this whole bench in a SUBPROCESS.
+    final_loss = float(loss)
+    reps = 3
     dt = (time.perf_counter() - t0) / (reps * n_inner)
-    return {
+    # cost analysis AFTER timing: lowering poisons the jit dispatch
+    # cache with a non-executing AOT executable on the axon runtime
+    # (see bench_jax)
+    flops, bytes_, _ = _xla_step_cost(
+        steps, params, opt_state, batch
+    )
+    res = {
         "events_per_s": round(B_d / dt, 1),
         "step_ms": round(dt * 1e3, 2),
         "batch": B_d,
         "max_len": L_d,
+        "step_flops": flops / n_inner,
+        "step_bytes": bytes_ / n_inner,
+        "final_loss": final_loss,
     }
+    res["roofline"] = roofline_detail(res)
+    rl = res["roofline"]
+    if (
+        rl.get("achieved_tflops")
+        and rl.get("peak_bf16_tflops")
+        and rl["achieved_tflops"] > rl["peak_bf16_tflops"]
+    ):
+        # faster than physics = the runtime lied about completion
+        res["timing_suspect"] = True
+    return res
 
 
 # bump when _e2e_loader's pipeline config changes: the materialized-pack
@@ -435,7 +495,9 @@ def _e2e_loader(n_events_db: int):
         shuffle=True,
         seed=0,
         buckets=(128,),
-        num_workers=4,
+        # 3 pipeline workers + the prefetch thread + the main thread
+        # saturate the 4-core host (nw=3 beat nw=4: 3.1 vs 3.5 ms/batch)
+        num_workers=3,
     )
 
 
@@ -510,7 +572,7 @@ def bench_e2e_loader(
             ),
         ),
     )
-    optimizer = optax.adam(1e-3, eps=1e-3)
+    optimizer = optax.flatten(optax.adam(1e-3, eps=1e-3))
 
     def loss_fn(p, batch):
         return model.loss_from_batch(model.apply(p, batch), batch)
@@ -942,6 +1004,49 @@ def bench_torch_cpu_baseline(n_steps: int = 3) -> float:
     return B * n_steps / dt
 
 
+# bench functions runnable via ``bench.py --sub <name> [json-kwargs]``
+# in a child process
+_SUB_BENCHES = {
+    "tito": bench_tito_l1024,
+    "deepice": bench_deepice,
+}
+
+
+def _bench_in_subprocess(
+    name: str, kwargs: dict = None, timeout_s: int = 3600
+) -> dict:
+    """Run one bench section in a FRESH process and parse its JSON line.
+
+    Two axon-runtime failure modes force this isolation (both diagnosed
+    2026-08-19, see bench_tito_l1024/bench_deepice comments):
+    * a device→host scalar readback — the only sync the tunneled
+      runtime honors — permanently degrades later device_puts in the
+      same process (CLAUDE.md), so tito/deepice's ``float(loss)`` must
+      not run in the process that still has sections to measure;
+    * the runtime's async-completion state is per-process and flaky:
+      identical code has produced impossible sub-ms steps in a
+      long-lived process while a fresh process measures sanely.
+    """
+    import subprocess
+    import sys
+
+    argv = [sys.executable, os.path.abspath(__file__), "--sub", name]
+    if kwargs:
+        argv.append(json.dumps(kwargs))
+    out = subprocess.run(
+        argv, capture_output=True, text=True, timeout=timeout_s
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    raise RuntimeError(
+        f"subprocess bench {name!r} emitted no JSON (rc={out.returncode}); "
+        f"stderr tail: {out.stderr[-1500:]}"
+    )
+
+
 def _guard_backend(probe_timeout_s: int = 180) -> str:
     """Fail over to CPU when the TPU runtime is unreachable.
 
@@ -1026,8 +1131,11 @@ def main() -> None:
         except Exception as e:  # a failed side-measurement must not kill
             return {"error": f"{type(e).__name__}: {e}"}  # the headline
 
+    # tito/deepice run in SUBPROCESSES: their timed region ends at a
+    # scalar readback, which would degrade this process's device_puts
+    # for every later section (see _bench_in_subprocess)
     tito = (
-        _section(bench_tito_l1024)
+        _section(_bench_in_subprocess, "tito")
         if os.environ.get("BENCH_TITO", "1") != "0"
         else None
     )
@@ -1037,7 +1145,7 @@ def main() -> None:
         else None
     )
     deepice = (
-        _section(bench_deepice)
+        _section(_bench_in_subprocess, "deepice")
         if os.environ.get("BENCH_DEEPICE", "1") != "0"
         else None
     )
@@ -1083,4 +1191,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--sub":
+        kwargs = json.loads(sys.argv[3]) if len(sys.argv) > 3 else {}
+        print(json.dumps(_SUB_BENCHES[sys.argv[2]](**kwargs)))
+    else:
+        main()

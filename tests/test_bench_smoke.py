@@ -46,6 +46,33 @@ def test_bench_inference_section(tiny):
     assert out["latency_ms_per_batch"] > 0
 
 
+def test_bench_subprocess_isolation(monkeypatch):
+    """main() runs tito/deepice via ``bench.py --sub`` child processes
+    (the scalar-readback sync they need degrades the parent's
+    device_puts on the axon runtime) — exercise the real plumbing:
+    spawn, JSON-kwargs pass-through, JSON-line parse."""
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    out = bench._bench_in_subprocess(
+        "deepice",
+        kwargs=dict(
+            B_d=2,
+            L_d=32,
+            model_kwargs=dict(
+                hidden_dim=32,
+                seq_length=32,
+                depth=1,
+                depth_rel=1,
+                head_size=8,
+            ),
+        ),
+        timeout_s=900,
+    )
+    assert out["events_per_s"] > 0
+    assert np.isfinite(out["final_loss"])
+    assert "roofline" in out
+
+
 def test_bench_deepice_section(tiny):
     out = bench.bench_deepice(
         B_d=2,

@@ -6,6 +6,9 @@ silent numerics drift (VERDICT r2 weak #5)."""
 import numpy as np
 import pytest
 
+# heavyweight (subprocess / full-size / torch-golden) — fast tier skips
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from graphnet_tpu.batch import make_batch

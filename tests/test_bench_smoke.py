@@ -46,6 +46,7 @@ def test_bench_inference_section(tiny):
     assert out["latency_ms_per_batch"] > 0
 
 
+@pytest.mark.slow
 def test_bench_subprocess_isolation(monkeypatch):
     """main() runs tito/deepice via ``bench.py --sub`` child processes
     (the scalar-readback sync they need degrades the parent's

@@ -8,6 +8,9 @@ from glob import glob
 
 import pytest
 
+# heavyweight (subprocess / full-size / torch-golden) — fast tier skips
+pytestmark = pytest.mark.slow
+
 EXAMPLES_DIR = os.path.join(
     os.path.dirname(__file__), "..", "examples"
 )

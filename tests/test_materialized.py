@@ -6,6 +6,9 @@ import os
 import numpy as np
 import pytest
 
+# heavyweight (subprocess / full-size / torch-golden) — fast tier skips
+pytestmark = pytest.mark.slow
+
 from graphnet_tpu.batch import EventBatch, make_batch
 from graphnet_tpu.data.materialized import (
     MaterializedLoader,

@@ -22,6 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# heavyweight (subprocess / full-size / torch-golden) — fast tier skips
+pytestmark = pytest.mark.slow
+
 from graphnet_tpu.batch import make_batch
 from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
 from graphnet_tpu.models.gnn.dynedge import DynEdge

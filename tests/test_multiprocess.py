@@ -17,6 +17,9 @@ import sys
 import numpy as np
 import pytest
 
+# heavyweight (subprocess / full-size / torch-golden) — fast tier skips
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -19,6 +19,9 @@ Covered here:
 import numpy as np
 import pytest
 
+# heavyweight (subprocess / full-size / torch-golden) — fast tier skips
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 from tests import refshim

@@ -16,6 +16,9 @@ Also covers the no-eval translation of reference zoo YAML configs
 import numpy as np
 import pytest
 
+# heavyweight (subprocess / full-size / torch-golden) — fast tier skips
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 import jax

@@ -13,6 +13,9 @@ BatchNorm-bearing models are compared in torch eval mode against our
 import numpy as np
 import pytest
 
+# heavyweight (subprocess / full-size / torch-golden) — fast tier skips
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 import jax

@@ -98,6 +98,35 @@ def test_streaming_pads_ragged_L():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("ts", [32, 64])
+def test_pallas_interpret_matches_materialised(ts):
+    """The Pallas forward (interpret mode — kernel math only; Mosaic
+    lowering needs a real TPU, CLAUDE.md gotcha) == dense path."""
+    from graphnet_tpu.ops.rel_flash_attention import rel_flash_attention
+
+    q, k, v, x0, rel, w, b = _setup(L=128)
+    want = _materialised(q, k, v, rel, None)
+    got = rel_flash_attention(
+        q, k, v, x0, w, b, tq=64, ts=ts, interpret=True
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_interpret_masked():
+    from graphnet_tpu.ops.rel_flash_attention import rel_flash_attention
+
+    q, k, v, x0, rel, w, b = _setup(L=128)
+    rng = np.random.default_rng(2)
+    mask = jnp.asarray(rng.random((2, 128)) > 0.3)
+    mask = mask.at[:, 0].set(True)
+    want = _materialised(q, k, v, rel, mask)
+    got = rel_flash_attention(
+        q, k, v, x0, w, b, key_padding_mask=mask, tq=64, ts=32,
+        interpret=True,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 def test_streaming_grads_match():
     """Fold + online softmax must be exact under differentiation too
     (the Pallas VJP will be checked against this same contract)."""

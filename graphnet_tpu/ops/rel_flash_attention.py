@@ -234,20 +234,12 @@ def rel_attention_streaming(
 # see ops/flash_attention.py:_NEG for the magnitude rationale
 _NEG_K = -1e5
 
-_TWO_PI = float(2.0 * np.pi)
-
-
 def _sincos_rr(x):
-    """sin/cos with explicit range reduction.
-
-    The embedding argument spans ±4096; Mosaic's fp32 sin/cos loses
-    ~12% absolute accuracy out there (measured vs XLA on a v5e —
-    logs/tpu_rel_flash.log), while XLA's lowering does proper range
-    reduction.  One fp32 round-trip (x − 2π·round(x/2π)) bounds the
-    argument to ±π at ≤5e-4 rad rounding error — below the bf16
-    noise floor of the surrounding attention math."""
-    r = x - _TWO_PI * jnp.round(x * (1.0 / _TWO_PI))
-    return jnp.sin(r), jnp.cos(r)
+    """Plain sin/cos — Mosaic's fp32 transcendentals are exact to
+    1.2e-7 even at ±4096 (measured, tools/tpu_check_rel_flash.py probe;
+    an explicit fp32 range reduction is WORSE at 2.3e-4).  Kept as a
+    seam so the probe and the kernel share one definition."""
+    return jnp.sin(x), jnp.cos(x)
 
 
 def _dot(a, b, dims):
@@ -270,7 +262,18 @@ def _pair_arg(xq, ones_q, xk):
     interval = jnp.zeros((xq.shape[0], xk.shape[0]), jnp.float32)
     c2 = jnp.asarray(_C, jnp.float32) ** 2
     for c in range(4):
-        row = _dot(ones_q, xk[:, c : c + 1], ((1,), (1,)))  # [tq, ts]
+        # the broadcast MUST be exact: the TPU default matmul precision
+        # is bf16 on the MXU even for fp32 operands, which rounds the
+        # coordinates and puts ~12% absolute error on the attention
+        # output (measured — logs/tpu_rel_flash2.log); HIGHEST runs the
+        # K=1 dot in fp32-equivalent passes
+        row = jax.lax.dot_general(
+            ones_q,
+            xk[:, c : c + 1],
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [tq, ts]
         delta = xq[:, c : c + 1] - row
         interval = interval + (delta * delta if c < 3 else -c2 * delta * delta)
     d = jnp.sign(interval) * jnp.sqrt(jnp.abs(interval))
@@ -390,6 +393,242 @@ def _rel_fwd(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret):
     return o, oe, lse
 
 
+# ---------------------------------------------------------------------------
+# backward (recompute from lse, extended-value formulation)
+# ---------------------------------------------------------------------------
+#
+# Treat the pair embedding as an extension of the value vector:
+# û_j(i) = [v_j, emb_ij], ô = [o, oe], ĝ = [do, doe].  The standard
+# flash recompute-VJP then applies verbatim:
+#   p̂ = exp(logits − lse)                      (normalised probs)
+#   delta_i = Σ_d do·o + Σ_e doe·oe
+#   dp̂_ij = do_i·v_j + doe_i·emb_ij
+#   ds = p̂·(dp̂ − delta)·valid
+#   dq += ds@k,  dk += dsᵀ@q,  dv += p̂ᵀ@do
+#   dq̃_ie = Σ_j ds·emb_ije,    dq̂b_i = Σ_j ds
+# x0 (raw detector coordinates) and the mask are non-differentiable.
+# The projection folds (q̃ = q@Wᵀ, q̂b = q·b, out = o + oe@W + b) live
+# OUTSIDE the custom_vjp core, so dW/db/dq-through-the-fold compose by
+# ordinary autodiff.
+
+
+def _rel_bwd_dq_kernel(
+    q_ref, qt_ref, qb_ref, k_ref, v_ref, xq_ref, xk_ref, mask_ref,
+    lse_ref, do_ref, doe_ref, delta_ref,
+    dq_ref, dqt_ref, dqb_ref,
+    *, tq, ts, e, freqs,
+):
+    dt = q_ref.dtype
+    q = q_ref[0]
+    qt = qt_ref[0].astype(jnp.float32)
+    qb = qb_ref[0].astype(jnp.float32)
+    xq = xq_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # [tq, 1]
+    do = do_ref[0]  # [tq, hd]
+    doe = doe_ref[0].astype(jnp.float32)  # [tq, e]
+    delta = delta_ref[0]  # [tq, 1]
+    L = k_ref.shape[1]
+    hd = q.shape[-1]
+    half = e // 2
+    ones_q = jnp.ones((tq, 1), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, e), 1)
+    dq = jnp.zeros((tq, hd), jnp.float32)
+    dqt = jnp.zeros((tq, e), jnp.float32)
+    dqb = jnp.zeros((tq, 1), jnp.float32)
+    for s in range(L // ts):
+        kc = k_ref[0, s * ts : (s + 1) * ts, :]
+        vc = v_ref[0, s * ts : (s + 1) * ts, :]
+        xk = xk_ref[0, s * ts : (s + 1) * ts, :].astype(jnp.float32)
+        arg = _pair_arg(xq, ones_q, xk)
+        logits = _dot(q, kc, ((1,), (1,))) + qb
+        dp = _dot(do, vc, ((1,), (1,)))  # [tq, ts]
+        for h in range(half):
+            sin_h, cos_h = _sincos_rr(arg * freqs[h])
+            logits = (
+                logits
+                + qt[:, h : h + 1] * sin_h
+                + qt[:, half + h : half + h + 1] * cos_h
+            )
+            dp = (
+                dp
+                + doe[:, h : h + 1] * sin_h
+                + doe[:, half + h : half + h + 1] * cos_h
+            )
+        valid = mask_ref[0, 0:1, s * ts : (s + 1) * ts]
+        logits = jnp.where(valid > 0, logits, _NEG_K)
+        p = jnp.exp(logits - lse)  # [tq, ts] fp32, normalised
+        ds = p * (dp - delta) * valid
+        dq = dq + _dot(ds.astype(dt), kc, ((1,), (0,)))
+        dqb = dqb + jnp.sum(ds, axis=-1, keepdims=True)
+        upd = jnp.zeros((tq, e), jnp.float32)
+        for h in range(half):
+            sin_h, cos_h = _sincos_rr(arg * freqs[h])
+            s_h = jnp.sum(ds * sin_h, axis=-1, keepdims=True)
+            c_h = jnp.sum(ds * cos_h, axis=-1, keepdims=True)
+            upd = (
+                upd
+                + s_h * (lane == h).astype(jnp.float32)
+                + c_h * (lane == half + h).astype(jnp.float32)
+            )
+        dqt = dqt + upd
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dqt_ref[0] = dqt.astype(dqt_ref.dtype)
+    dqb_ref[0] = dqb.astype(dqb_ref.dtype)
+
+
+def _rel_bwd_dkv_kernel(
+    q_ref, qt_ref, qb_ref, k_ref, v_ref, xq_ref, xk_ref, mask_ref,
+    lse_ref, do_ref, doe_ref, delta_ref,
+    dk_ref, dv_ref,
+    *, tq, ts, e, freqs,
+):
+    dt = q_ref.dtype
+    kc = k_ref[0]  # [ts, hd]
+    vc = v_ref[0]
+    xk = xk_ref[0].astype(jnp.float32)
+    si = pl.program_id(1)
+    valid = mask_ref[0, 0:1, pl.ds(si * ts, ts)]  # [1, ts]
+    L = q_ref.shape[1]
+    hd = kc.shape[-1]
+    half = e // 2
+    dk = jnp.zeros((ts, hd), jnp.float32)
+    dv = jnp.zeros((ts, hd), jnp.float32)
+    for t in range(L // tq):
+        qj = q_ref[0, t * tq : (t + 1) * tq, :]
+        qtj = qt_ref[0, t * tq : (t + 1) * tq, :].astype(jnp.float32)
+        qbj = qb_ref[0, t * tq : (t + 1) * tq, :].astype(jnp.float32)
+        xq = xq_ref[0, t * tq : (t + 1) * tq, :].astype(jnp.float32)
+        lse = lse_ref[0, t * tq : (t + 1) * tq, :]
+        do = do_ref[0, t * tq : (t + 1) * tq, :]
+        doe = doe_ref[0, t * tq : (t + 1) * tq, :].astype(jnp.float32)
+        delta = delta_ref[0, t * tq : (t + 1) * tq, :]
+        ones_q = jnp.ones((tq, 1), jnp.float32)
+        arg = _pair_arg(xq, ones_q, xk)
+        logits = _dot(qj, kc, ((1,), (1,))) + qbj
+        dp = _dot(do, vc, ((1,), (1,)))
+        for h in range(half):
+            sin_h, cos_h = _sincos_rr(arg * freqs[h])
+            logits = (
+                logits
+                + qtj[:, h : h + 1] * sin_h
+                + qtj[:, half + h : half + h + 1] * cos_h
+            )
+            dp = (
+                dp
+                + doe[:, h : h + 1] * sin_h
+                + doe[:, half + h : half + h + 1] * cos_h
+            )
+        logits = jnp.where(valid > 0, logits, _NEG_K)
+        p = jnp.exp(logits - lse)
+        ds = (p * (dp - delta) * valid).astype(dt)
+        dk = dk + _dot(ds, qj, ((0,), (0,)))  # [ts, hd]
+        dv = dv + _dot(p.astype(dt), do, ((0,), (0,)))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _rel_bwd(tq, ts, freqs, interpret, residuals, cot):
+    q, qt, qb, k, v, x0, mask, o, oe, lse = residuals
+    do, doe, _dlse = cot
+    BH, L, hd = q.shape
+    e = qt.shape[-1]
+    xf = x0.shape[-1]
+    do = do.astype(q.dtype)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32),
+        axis=-1,
+        keepdims=True,
+    ) + jnp.sum(doe.astype(jnp.float32) * oe, axis=-1, keepdims=True)
+    common_specs = [
+        pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0)),  # q tile
+        pl.BlockSpec((1, tq, e), lambda b, i: (b, i, 0)),  # qt tile
+        pl.BlockSpec((1, tq, 1), lambda b, i: (b, i, 0)),  # qb tile
+        pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),  # k
+        pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),  # v
+        pl.BlockSpec((1, tq, xf), lambda b, i: (b, i, 0)),  # xq tile
+        pl.BlockSpec((1, L, xf), lambda b, i: (b, 0, 0)),  # xk
+        pl.BlockSpec((1, 1, L), lambda b, i: (b, 0, 0)),  # mask
+        pl.BlockSpec((1, tq, 1), lambda b, i: (b, i, 0)),  # lse tile
+        pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0)),  # do tile
+        pl.BlockSpec((1, tq, e), lambda b, i: (b, i, 0)),  # doe tile
+        pl.BlockSpec((1, tq, 1), lambda b, i: (b, i, 0)),  # delta tile
+    ]
+    dq, dqt, dqb = pl.pallas_call(
+        functools.partial(
+            _rel_bwd_dq_kernel, tq=tq, ts=ts, e=e, freqs=freqs
+        ),
+        grid=(BH, L // tq),
+        in_specs=common_specs,
+        out_specs=[
+            pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tq, e), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, L, hd), q.dtype),
+            jax.ShapeDtypeStruct((BH, L, e), jnp.float32),
+            jax.ShapeDtypeStruct((BH, L, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, qt, qb, k, v, x0, x0, mask, lse, do, doe, delta)
+    full_specs = [
+        pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),  # q
+        pl.BlockSpec((1, L, e), lambda b, i: (b, 0, 0)),  # qt
+        pl.BlockSpec((1, L, 1), lambda b, i: (b, 0, 0)),  # qb
+        pl.BlockSpec((1, ts, hd), lambda b, i: (b, i, 0)),  # k chunk
+        pl.BlockSpec((1, ts, hd), lambda b, i: (b, i, 0)),  # v chunk
+        pl.BlockSpec((1, L, xf), lambda b, i: (b, 0, 0)),  # xq
+        pl.BlockSpec((1, ts, xf), lambda b, i: (b, i, 0)),  # xk chunk
+        pl.BlockSpec((1, 1, L), lambda b, i: (b, 0, 0)),  # mask
+        pl.BlockSpec((1, L, 1), lambda b, i: (b, 0, 0)),  # lse
+        pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),  # do
+        pl.BlockSpec((1, L, e), lambda b, i: (b, 0, 0)),  # doe
+        pl.BlockSpec((1, L, 1), lambda b, i: (b, 0, 0)),  # delta
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _rel_bwd_dkv_kernel, tq=tq, ts=ts, e=e, freqs=freqs
+        ),
+        grid=(BH, L // ts),
+        in_specs=full_specs,
+        out_specs=[
+            pl.BlockSpec((1, ts, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, ts, hd), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, L, hd), k.dtype),
+            jax.ShapeDtypeStruct((BH, L, hd), v.dtype),
+        ],
+        interpret=interpret,
+    )(q, qt, qb, k, v, x0, x0, mask, lse, do, doe, delta)
+    # cotangent dtypes must match the primals: qt/qb promote to fp32
+    # under bf16 q (bf16 × fp32-weights einsum)
+    return (
+        dq,
+        dqt.astype(qt.dtype),
+        dqb.astype(qb.dtype),
+        dk,
+        dv,
+        None,
+        None,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _rel_core(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret):
+    return _rel_fwd(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret)
+
+
+def _rel_core_fwd(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret):
+    o, oe, lse = _rel_fwd(
+        q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret
+    )
+    return (o, oe, lse), (q, qt, qb, k, v, x0, mask, o, oe, lse)
+
+
+_rel_core.defvjp(_rel_core_fwd, _rel_bwd)
+
+
 def rel_flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -402,13 +641,13 @@ def rel_flash_attention(
     ts: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Pallas TPU forward of :func:`rel_attention_streaming`.
+    """Pallas TPU version of :func:`rel_attention_streaming`.
 
     Same contract (``q`` pre-scaled; returns ``[B, L, H, hd]`` fp32);
-    the ``[B,H,L,ts]`` logits and ``[B,L,ts,e]`` embedding tiles stay
-    in VMEM.  FORWARD ONLY for now — gradients raise (the custom VJP
-    lands with the TPU validation pass; train-time callers keep the
-    chunked-dense path until then).
+    the ``[B,H,L,ts]`` logits and embedding planes stay in VMEM.
+    Differentiable w.r.t. ``q/k/v/w_proj/b_proj`` via a recompute
+    custom VJP (``x0`` and the mask are non-differentiable — raw
+    detector coordinates).
     """
     B, H, L, hd = q.shape
     e = w_proj.shape[0]
@@ -430,7 +669,7 @@ def rel_flash_attention(
         return t.reshape(B * H, L, t.shape[-1])
 
     freqs = tuple(float(f) for f in _freqs(e))
-    o, oe, lse = _rel_fwd(
+    o, oe, lse = _rel_core(
         bh(q),
         bh(q_tilde),
         bh(q_dot_b),

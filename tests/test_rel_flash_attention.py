@@ -127,6 +127,40 @@ def test_pallas_interpret_masked():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_pallas_interpret_grads_match():
+    """The kernel's recompute custom VJP == autodiff of the streaming
+    path, for every differentiable input (q, k, v, W, b)."""
+    from graphnet_tpu.ops.rel_flash_attention import rel_flash_attention
+
+    q, k, v, x0, rel, w, b = _setup(L=128)
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray(rng.random((2, 128)) > 0.3)
+    mask = mask.at[:, 0].set(True)
+
+    def loss_kernel(args):
+        q_, k_, v_, w_, b_ = args
+        out = rel_flash_attention(
+            q_, k_, v_, x0, w_, b_, key_padding_mask=mask,
+            tq=64, ts=32, interpret=True,
+        )
+        return (out**2).sum()
+
+    def loss_stream(args):
+        q_, k_, v_, w_, b_ = args
+        out = rel_attention_streaming(
+            q_, k_, v_, x0, w_, b_, key_padding_mask=mask, ts=32
+        )
+        return (out**2).sum()
+
+    args = (q, k, v, w, b)
+    g_k = jax.grad(loss_kernel)(args)
+    g_s = jax.grad(loss_stream)(args)
+    for name, a, b_ in zip("qkvwb", g_k, g_s):
+        np.testing.assert_allclose(
+            a, b_, rtol=1e-3, atol=1e-3, err_msg=f"grad {name}"
+        )
+
+
 def test_streaming_grads_match():
     """Fold + online softmax must be exact under differentiation too
     (the Pallas VJP will be checked against this same contract)."""

@@ -283,110 +283,138 @@ def _pair_arg(xq, ones_q, xk):
 
 
 def _rel_fwd_kernel(
-    q_ref,  # [1, tq, hd]  (pre-scaled)
-    qt_ref,  # [1, tq, e]   q̃ = q_scaled @ Wᵀ
-    qb_ref,  # [1, tq, 1]   q_scaled · b
-    k_ref,  # [1, L, hd]
-    v_ref,  # [1, L, hd]
+    q_ref,  # [1, tq, H*hd]  (pre-scaled, heads folded into lanes)
+    qt_ref,  # [1, tq, H*e]   q̃ = q_scaled @ Wᵀ per head
+    qb_ref,  # [1, tq, H]     q_scaled · b per head
+    k_ref,  # [1, L, H*hd]
+    v_ref,  # [1, L, H*hd]
     xq_ref,  # [1, tq, xf]  query-side coordinates
     xk_ref,  # [1, L, xf]   key-side coordinates (same array)
     mask_ref,  # [1, 1, L]
-    o_ref,  # [1, tq, hd]
-    oe_ref,  # [1, tq, e]   Σ_j a·emb (normalised)
-    lse_ref,  # [1, tq, 1]
+    o_ref,  # [1, tq, H*hd]
+    oe_ref,  # [1, tq, H*e]   Σ_j a·emb per head (normalised)
+    lse_ref,  # [1, tq, H]
     *,
     tq: int,
     ts: int,
     e: int,
+    n_heads: int,
     freqs: tuple,
 ):
+    """Grid is (B, L//tq): ALL heads live in one program so the pair
+    embedding — the transcendental-bound part — is computed once per
+    (query-tile × key-chunk) instead of once per head (the per-head
+    grid measured 4.9× slower than the chunked-dense XLA path at
+    B=16 H=12 L=768: 69 vs 14 ms — logs/tpu_rel_flash5.log).
+    Per-head planes are Python lists of 2D [tq, ts] arrays; head
+    slices of the folded lane dimension are static (Mosaic-legal)."""
     dt = q_ref.dtype
     q = q_ref[0]
     qt = qt_ref[0].astype(jnp.float32)
     qb = qb_ref[0].astype(jnp.float32)
     xq = xq_ref[0].astype(jnp.float32)
     L = k_ref.shape[1]
-    hd = q.shape[-1]
+    hd = q.shape[-1] // n_heads
     half = e // 2
 
     ones_q = jnp.ones((tq, 1), jnp.float32)
-    # one-hot lane masks for assembling [tq, e] accumulator columns
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, e), 1)
 
-    m = jnp.full((tq, 1), _NEG_K, jnp.float32)
-    l = jnp.zeros((tq, 1), jnp.float32)
-    acc = jnp.zeros((tq, hd), jnp.float32)
-    acc_e = jnp.zeros((tq, e), jnp.float32)
+    m = [jnp.full((tq, 1), _NEG_K, jnp.float32) for _ in range(n_heads)]
+    l = [jnp.zeros((tq, 1), jnp.float32) for _ in range(n_heads)]
+    acc = [jnp.zeros((tq, hd), jnp.float32) for _ in range(n_heads)]
+    acc_e = [jnp.zeros((tq, e), jnp.float32) for _ in range(n_heads)]
     for s in range(L // ts):
-        kc = k_ref[0, s * ts : (s + 1) * ts, :]
-        vc = v_ref[0, s * ts : (s + 1) * ts, :]
         xk = xk_ref[0, s * ts : (s + 1) * ts, :].astype(jnp.float32)
         arg = _pair_arg(xq, ones_q, xk)  # [tq, ts]
-        logits = _dot(q, kc, ((1,), (1,))) + qb  # [tq, ts]
-        for h in range(half):
-            sin_h, cos_h = _sincos_rr(arg * freqs[h])
-            logits = (
-                logits
-                + qt[:, h : h + 1] * sin_h
-                + qt[:, half + h : half + h + 1] * cos_h
-            )
         valid = mask_ref[0, 0:1, s * ts : (s + 1) * ts]  # [1, ts]
-        logits = jnp.where(valid > 0, logits, _NEG_K)
-        m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
-        p = jnp.exp(logits - m_new)  # [tq, ts] fp32
-        corr = jnp.exp(m - m_new)
-        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * corr + _dot(p.astype(dt), vc, ((1,), (0,)))
-        # attention-weighted embedding: recompute sin/cos (cheaper than
-        # keeping e live [tq,ts] planes in VMEM across the softmax)
-        upd = jnp.zeros((tq, e), jnp.float32)
-        for h in range(half):
-            sin_h, cos_h = _sincos_rr(arg * freqs[h])
-            s_h = jnp.sum(p * sin_h, axis=-1, keepdims=True)
-            c_h = jnp.sum(p * cos_h, axis=-1, keepdims=True)
-            upd = (
-                upd
-                + s_h * (lane == h).astype(jnp.float32)
-                + c_h * (lane == half + h).astype(jnp.float32)
+        # per-head qk logits
+        logits = []
+        for h in range(n_heads):
+            qh = q[:, h * hd : (h + 1) * hd]
+            kc = k_ref[0, s * ts : (s + 1) * ts, h * hd : (h + 1) * hd]
+            logits.append(
+                _dot(qh, kc, ((1,), (1,))) + qb[:, h : h + 1]
             )
-        acc_e = acc_e * corr + upd
-        m = m_new
-    l_safe = jnp.maximum(l, 1e-30)
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    oe_ref[0] = (acc_e / l_safe).astype(oe_ref.dtype)
-    lse_ref[0] = m + jnp.log(l_safe)
+        # shared sin/cos planes, consumed by every head
+        for f in range(half):
+            sin_f, cos_f = _sincos_rr(arg * freqs[f])
+            for h in range(n_heads):
+                qth = qt[:, h * e : (h + 1) * e]
+                logits[h] = (
+                    logits[h]
+                    + qth[:, f : f + 1] * sin_f
+                    + qth[:, half + f : half + f + 1] * cos_f
+                )
+        # per-head online softmax + value/embedding accumulation
+        p = []
+        for h in range(n_heads):
+            lg = jnp.where(valid > 0, logits[h], _NEG_K)
+            m_new = jnp.maximum(
+                m[h], jnp.max(lg, axis=-1, keepdims=True)
+            )
+            ph = jnp.exp(lg - m_new)
+            corr = jnp.exp(m[h] - m_new)
+            l[h] = l[h] * corr + jnp.sum(ph, axis=-1, keepdims=True)
+            vc = v_ref[0, s * ts : (s + 1) * ts, h * hd : (h + 1) * hd]
+            acc[h] = acc[h] * corr + _dot(ph.astype(dt), vc, ((1,), (0,)))
+            acc_e[h] = acc_e[h] * corr
+            m[h] = m_new
+            p.append(ph)
+        # attention-weighted embedding: recompute sin/cos once per
+        # frequency (shared across heads), reduce per head
+        for f in range(half):
+            sin_f, cos_f = _sincos_rr(arg * freqs[f])
+            oh_sin = (lane == f).astype(jnp.float32)
+            oh_cos = (lane == half + f).astype(jnp.float32)
+            for h in range(n_heads):
+                s_h = jnp.sum(p[h] * sin_f, axis=-1, keepdims=True)
+                c_h = jnp.sum(p[h] * cos_f, axis=-1, keepdims=True)
+                acc_e[h] = acc_e[h] + s_h * oh_sin + c_h * oh_cos
+    o_cols, oe_cols, lse_cols = [], [], []
+    for h in range(n_heads):
+        l_safe = jnp.maximum(l[h], 1e-30)
+        o_cols.append((acc[h] / l_safe).astype(o_ref.dtype))
+        oe_cols.append((acc_e[h] / l_safe).astype(oe_ref.dtype))
+        lse_cols.append(m[h] + jnp.log(l_safe))
+    o_ref[0] = jnp.concatenate(o_cols, axis=-1)
+    oe_ref[0] = jnp.concatenate(oe_cols, axis=-1)
+    lse_ref[0] = jnp.concatenate(lse_cols, axis=-1)
 
 
 def _rel_fwd(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret):
-    BH, L, hd = q.shape
-    e = qt.shape[-1]
+    """q/qt/qb/k/v in head-folded layout [B, L, H*dim]."""
+    B, L, Dq = q.shape
+    n_heads = qb.shape[-1]
+    hd = Dq // n_heads
+    e = qt.shape[-1] // n_heads
     xf = x0.shape[-1]
-    grid = (BH, L // tq)
+    grid = (B, L // tq)
     kern = functools.partial(
-        _rel_fwd_kernel, tq=tq, ts=ts, e=e, freqs=freqs
+        _rel_fwd_kernel, tq=tq, ts=ts, e=e, n_heads=n_heads, freqs=freqs
     )
     o, oe, lse = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tq, e), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tq, 1), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tq, n_heads * hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tq, n_heads * e), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tq, n_heads), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, L, n_heads * hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, L, n_heads * hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, tq, xf), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, L, xf), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, 1, L), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tq, e), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tq, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tq, n_heads * hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tq, n_heads * e), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tq, n_heads), lambda b, i: (b, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, L, hd), q.dtype),
-            jax.ShapeDtypeStruct((BH, L, e), jnp.float32),
-            jax.ShapeDtypeStruct((BH, L, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, n_heads * hd), q.dtype),
+            jax.ShapeDtypeStruct((B, L, n_heads * e), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, n_heads), jnp.float32),
         ],
         interpret=interpret,
     )(q, qt, qb, k, v, x0, x0, mask)
@@ -528,12 +556,43 @@ def _rel_bwd_dkv_kernel(
 
 
 def _rel_bwd(tq, ts, freqs, interpret, residuals, cot):
-    q, qt, qb, k, v, x0, mask, o, oe, lse = residuals
-    do, doe, _dlse = cot
-    BH, L, hd = q.shape
-    e = qt.shape[-1]
+    """Backward over the folded-layout core.
+
+    The bwd kernels keep the per-(batch·head) layout — the reshapes at
+    this boundary are cheap XLA transposes (~30 MB at the DeepIce bench
+    shape), and training wires through the streaming/chunked path until
+    the bwd kernels get the same head-folding treatment; the folded fwd
+    is what serving needs."""
+    qf, qtf, qbf, kf, vf, x0b, maskb, of, oef, lsef = residuals
+    dof, doef, _dlse = cot
+    B, L, Dq = qf.shape
+    H = qbf.shape[-1]
+    hd = Dq // H
+    e = qtf.shape[-1] // H
+
+    def ph(t, d):  # [B, L, H*d] -> [B*H, L, d]
+        return (
+            t.reshape(B, L, H, d)
+            .transpose(0, 2, 1, 3)
+            .reshape(B * H, L, d)
+        )
+
+    q = ph(qf, hd)
+    qt = ph(qtf, e)
+    qb = ph(qbf, 1)
+    k = ph(kf, hd)
+    v = ph(vf, hd)
+    o = ph(of, hd)
+    oe = ph(oef, e)
+    lse = ph(lsef, 1)
+    do = ph(dof, hd).astype(q.dtype)
+    doe = ph(doef, e)
+    x0 = jnp.repeat(x0b[:, None], H, axis=1).reshape(
+        B * H, L, x0b.shape[-1]
+    )
+    mask = jnp.repeat(maskb, H, axis=0)
+    BH = B * H
     xf = x0.shape[-1]
-    do = do.astype(q.dtype)
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32),
         axis=-1,
@@ -601,14 +660,21 @@ def _rel_bwd(tq, ts, freqs, interpret, residuals, cot):
         ],
         interpret=interpret,
     )(q, qt, qb, k, v, x0, x0, mask, lse, do, doe, delta)
+    def fold(t, d):  # [B*H, L, d] -> [B, L, H*d]
+        return (
+            t.reshape(B, H, L, d)
+            .transpose(0, 2, 1, 3)
+            .reshape(B, L, H * d)
+        )
+
     # cotangent dtypes must match the primals: qt/qb promote to fp32
     # under bf16 q (bf16 × fp32-weights einsum)
     return (
-        dq,
-        dqt.astype(qt.dtype),
-        dqb.astype(qb.dtype),
-        dk,
-        dv,
+        fold(dq, hd),
+        fold(dqt, e).astype(qtf.dtype),
+        fold(dqb, 1).astype(qbf.dtype),
+        fold(dk, hd),
+        fold(dv, hd),
         None,
         None,
     )
@@ -658,31 +724,27 @@ def rel_flash_attention(
     q_dot_b = jnp.einsum("bhld,d->bhl", q, b_proj)[..., None]
     if key_padding_mask is None:
         key_padding_mask = jnp.ones((B, L), bool)
-    mask = jnp.repeat(
-        key_padding_mask.astype(jnp.float32), H, axis=0
-    )[:, None, :]
-    x0r = jnp.repeat(x0[:, None], H, axis=1).reshape(
-        B * H, L, x0.shape[-1]
-    )
+    mask = key_padding_mask.astype(jnp.float32)[:, None, :]  # [B,1,L]
 
-    def bh(t):
-        return t.reshape(B * H, L, t.shape[-1])
+    def fold(t):  # [B, H, L, d] -> [B, L, H*d]
+        d = t.shape[-1]
+        return t.transpose(0, 2, 1, 3).reshape(B, L, H * d)
 
     freqs = tuple(float(f) for f in _freqs(e))
     o, oe, lse = _rel_core(
-        bh(q),
-        bh(q_tilde),
-        bh(q_dot_b),
-        bh(k),
-        bh(v),
-        x0r,
+        fold(q),
+        fold(q_tilde),
+        fold(q_dot_b),
+        fold(k),
+        fold(v),
+        x0,
         mask,
         tq,
         ts,
         freqs,
         interpret,
     )
-    o = o.reshape(B, H, L, hd).astype(jnp.float32)
-    oe = oe.reshape(B, H, L, e)
-    o_rel = jnp.einsum("bhle,ed->bhld", oe, w_proj) + b_proj
-    return (o + o_rel).transpose(0, 2, 1, 3)
+    o = o.reshape(B, L, H, hd).astype(jnp.float32)
+    oe = oe.reshape(B, L, H, e)
+    o_rel = jnp.einsum("blhe,ed->blhd", oe, w_proj) + b_proj
+    return o + o_rel  # [B, L, H, hd]

@@ -595,6 +595,10 @@ class AttentionRel(nn.Module):
     # materialised [B, L, L, hd] tensor — O(L²·hd) memory becomes
     # O(L²·hd / rel_chunks) peak (long-L DeepIce)
     rel_chunks: int = 1
+    # use the Pallas streaming rel-bias kernel for the biased path when
+    # the shape qualifies (requires ``rel_source``): "never", "always",
+    # or "auto" (= on the TPU backend only — Mosaic lowering)
+    rel_flash: str = "auto"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -627,6 +631,24 @@ class AttentionRel(nn.Module):
         q, k, v = heads(q) * scale, heads(k), heads(v)
 
         if rel_source is not None and rel_pos_bias is None:
+            from graphnet_tpu.ops.rel_flash_attention import (
+                rel_flash_supported,
+            )
+
+            use_flash = self.rel_flash == "always" or (
+                self.rel_flash == "auto"
+                and jax.default_backend() == "tpu"
+            )
+            # the kernel's rel-value fold requires pair-feature dim ==
+            # head dim (true for DeepIce: SpacetimeEncoder(head_size))
+            if (
+                use_flash
+                and rel_flash_supported(L, hd)
+                and getattr(rel_source[0], "seq_length", None) == hd
+            ):
+                return self._flash_rel(
+                    q, k, v, rel_source, key_padding_mask, B, L, D
+                )
             return self._chunked_rel(
                 q, k, v, rel_source, key_padding_mask, B, L, D, H, hd
             )
@@ -675,6 +697,36 @@ class AttentionRel(nn.Module):
                 "bhij,bijc->bihc", attn, rel_pos_bias,
                 preferred_element_type=jnp.float32,
             ).astype(out.dtype)
+        out = out.reshape(B, L, D)
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
+        return nn.Dense(D, dtype=self.dtype, name="proj")(out)
+
+    def _flash_rel(
+        self, q, k, v, rel_source, key_padding_mask, B, L, D
+    ) -> jax.Array:
+        """Streaming Pallas rel-bias attention: the pair embedding never
+        touches HBM (rebuilt per VMEM tile from the O(L) coordinates).
+        Exact same math as the materialised path; differentiable via the
+        kernel's recompute custom VJP."""
+        from graphnet_tpu.ops.rel_flash_attention import (
+            rel_flash_attention,
+            rel_flash_tiles,
+        )
+
+        encoder, x0 = rel_source
+        # creating the (shared) SpacetimeEncoder params requires one
+        # call; a 1-pair slice is free and DCE'd in apply
+        _ = encoder(x0[:, :1], x0[:, :1])
+        enc_params = encoder.variables["params"]["projection"]
+        w, b = enc_params["kernel"], enc_params["bias"]
+        tq, ts = rel_flash_tiles(L)
+        out = rel_flash_attention(
+            q, k, v, x0, w.astype(jnp.float32), b.astype(jnp.float32),
+            key_padding_mask=key_padding_mask, tq=tq, ts=ts,
+            # "always" off-TPU (tests) runs the kernel in interpret mode
+            interpret=jax.default_backend() != "tpu",
+        )  # [B, L, H, hd] fp32
         out = out.reshape(B, L, D)
         if self.dtype is not None:
             out = out.astype(self.dtype)
@@ -732,6 +784,7 @@ class BlockRel(nn.Module):
     init_values: Optional[float] = None
     deterministic: bool = True
     rel_chunks: int = 1
+    rel_flash: str = "auto"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -748,6 +801,7 @@ class BlockRel(nn.Module):
             self.num_heads,
             qkv_bias=True,
             rel_chunks=self.rel_chunks,
+            rel_flash=self.rel_flash,
             dtype=self.dtype,
             name="attn",
         )(

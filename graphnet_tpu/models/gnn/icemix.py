@@ -42,6 +42,11 @@ class DeepIce(GNN):
     # instead of materialising [B, L, L, head_size] — peak memory of the
     # bias path drops by this factor (use for L >= ~1024)
     rel_bias_chunks: int = 1
+    # Pallas streaming rel-bias kernel (ops/rel_flash_attention.py):
+    # "auto" = on the TPU backend when the shape qualifies; "always";
+    # "never".  Supersedes both the materialised and chunked paths —
+    # the pair tensor never touches HBM
+    rel_flash: str = "auto"
     # "bfloat16" runs every transformer matmul (qkv/proj/MLP/Fourier-MLP
     # and the attention-weight products) at bf16 with fp32 softmax and
     # LayerNorm statistics; None = fp32 throughout (the parity default)
@@ -73,7 +78,18 @@ class DeepIce(GNN):
         rel_encoder = SpacetimeEncoder(
             self.head_size, dtype=cdtype, name="rel_pos"
         )
-        if self.rel_bias_chunks > 1:
+        from graphnet_tpu.ops.rel_flash_attention import (
+            rel_flash_supported,
+        )
+
+        flash_ok = (
+            self.rel_flash == "always"
+            or (
+                self.rel_flash == "auto"
+                and jax.default_backend() == "tpu"
+            )
+        ) and rel_flash_supported(L, self.head_size)
+        if self.rel_bias_chunks > 1 or flash_ok:
             rel_pos_bias = None
             rel_source = (rel_encoder, x0)
         else:
@@ -108,6 +124,7 @@ class DeepIce(GNN):
             x = BlockRel(
                 num_heads=num_heads,
                 rel_chunks=self.rel_bias_chunks,
+                rel_flash=self.rel_flash,
                 dtype=cdtype,
                 name=f"sandwich_{i}",
             )(

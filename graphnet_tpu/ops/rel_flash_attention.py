@@ -57,7 +57,26 @@ __all__ = [
     "sinusoidal_pair_emb",
     "rel_attention_streaming",
     "rel_flash_attention",
+    "rel_flash_supported",
+    "rel_flash_tiles",
 ]
+
+
+def rel_flash_tiles(L: int) -> tuple:
+    """Pick (tq, ts) for :func:`rel_flash_attention` at sequence
+    length ``L`` — the largest of the preferred tile sizes that
+    divide L (Mosaic: tq must be sublane-aligned, ts lane-aligned)."""
+    tq = next((t for t in (128, 64, 32, 16, 8) if L % t == 0), 0)
+    ts = next((t for t in (256, 128) if L % t == 0), 0)
+    return tq, ts
+
+
+def rel_flash_supported(L: int, hd: int) -> bool:
+    """Shape gate for the Pallas kernel: the rel-value fold needs the
+    pair-feature dim == head dim (DeepIce always satisfies this), an
+    even head dim (sin/cos halves) and Mosaic-legal tiles."""
+    tq, ts = rel_flash_tiles(L)
+    return hd % 2 == 0 and tq >= 8 and ts >= 128
 
 # light speed in the scaled detector units (embedding.py:128)
 _C = 3e4 / 500 * 3e-1
@@ -283,17 +302,17 @@ def _pair_arg(xq, ones_q, xk):
 
 
 def _rel_fwd_kernel(
-    q_ref,  # [1, tq, H*hd]  (pre-scaled, heads folded into lanes)
-    qt_ref,  # [1, tq, H*e]   q̃ = q_scaled @ Wᵀ per head
-    qb_ref,  # [1, tq, H]     q_scaled · b per head
-    k_ref,  # [1, L, H*hd]
-    v_ref,  # [1, L, H*hd]
+    q_ref,  # [1, 1, tq, hg*hd]  (pre-scaled, group heads in lanes)
+    qt_ref,  # [1, 1, tq, hg*e]   q̃ = q_scaled @ Wᵀ per head
+    qb_ref,  # [1, 1, tq, hg]     q_scaled · b per head
+    k_ref,  # [1, 1, L, hg*hd]
+    v_ref,  # [1, 1, L, hg*hd]
     xq_ref,  # [1, tq, xf]  query-side coordinates
     xk_ref,  # [1, L, xf]   key-side coordinates (same array)
     mask_ref,  # [1, 1, L]
-    o_ref,  # [1, tq, H*hd]
-    oe_ref,  # [1, tq, H*e]   Σ_j a·emb per head (normalised)
-    lse_ref,  # [1, tq, H]
+    o_ref,  # [1, 1, tq, hg*hd]
+    oe_ref,  # [1, 1, tq, hg*e]   Σ_j a·emb per head (normalised)
+    lse_ref,  # [1, 1, tq, hg]
     *,
     tq: int,
     ts: int,
@@ -309,30 +328,42 @@ def _rel_fwd_kernel(
     Per-head planes are Python lists of 2D [tq, ts] arrays; head
     slices of the folded lane dimension are static (Mosaic-legal)."""
     dt = q_ref.dtype
-    q = q_ref[0]
-    qt = qt_ref[0].astype(jnp.float32)
-    qb = qb_ref[0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    qt = qt_ref[0, 0].astype(jnp.float32)
+    qb = qb_ref[0, 0].astype(jnp.float32)
     xq = xq_ref[0].astype(jnp.float32)
-    L = k_ref.shape[1]
+    L = k_ref.shape[2]
     hd = q.shape[-1] // n_heads
     half = e // 2
 
     ones_q = jnp.ones((tq, 1), jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, e), 1)
 
-    m = [jnp.full((tq, 1), _NEG_K, jnp.float32) for _ in range(n_heads)]
-    l = [jnp.zeros((tq, 1), jnp.float32) for _ in range(n_heads)]
-    acc = [jnp.zeros((tq, hd), jnp.float32) for _ in range(n_heads)]
-    acc_e = [jnp.zeros((tq, e), jnp.float32) for _ in range(n_heads)]
-    for s in range(L // ts):
-        xk = xk_ref[0, s * ts : (s + 1) * ts, :].astype(jnp.float32)
+    init = (
+        tuple(
+            jnp.full((tq, 1), _NEG_K, jnp.float32)
+            for _ in range(n_heads)
+        ),
+        tuple(jnp.zeros((tq, 1), jnp.float32) for _ in range(n_heads)),
+        tuple(
+            jnp.zeros((tq, hd), jnp.float32) for _ in range(n_heads)
+        ),
+        tuple(jnp.zeros((tq, e), jnp.float32) for _ in range(n_heads)),
+    )
+
+    # the chunk loop is a fori_loop (NOT Python-unrolled): the unrolled
+    # version made Mosaic keep every chunk's temporaries live at once —
+    # 18 MB of kernel stack at H=4, tq=ts=128 (VMEM OOM at compile)
+    def chunk(s, carry):
+        m, l, acc, acc_e = (list(c) for c in carry)
+        xk = xk_ref[0, pl.ds(s * ts, ts), :].astype(jnp.float32)
         arg = _pair_arg(xq, ones_q, xk)  # [tq, ts]
-        valid = mask_ref[0, 0:1, s * ts : (s + 1) * ts]  # [1, ts]
+        valid = mask_ref[0, 0:1, pl.ds(s * ts, ts)]  # [1, ts]
         # per-head qk logits
         logits = []
         for h in range(n_heads):
             qh = q[:, h * hd : (h + 1) * hd]
-            kc = k_ref[0, s * ts : (s + 1) * ts, h * hd : (h + 1) * hd]
+            kc = k_ref[0, 0, pl.ds(s * ts, ts), h * hd : (h + 1) * hd]
             logits.append(
                 _dot(qh, kc, ((1,), (1,))) + qb[:, h : h + 1]
             )
@@ -356,8 +387,10 @@ def _rel_fwd_kernel(
             ph = jnp.exp(lg - m_new)
             corr = jnp.exp(m[h] - m_new)
             l[h] = l[h] * corr + jnp.sum(ph, axis=-1, keepdims=True)
-            vc = v_ref[0, s * ts : (s + 1) * ts, h * hd : (h + 1) * hd]
-            acc[h] = acc[h] * corr + _dot(ph.astype(dt), vc, ((1,), (0,)))
+            vc = v_ref[0, 0, pl.ds(s * ts, ts), h * hd : (h + 1) * hd]
+            acc[h] = acc[h] * corr + _dot(
+                ph.astype(dt), vc, ((1,), (0,))
+            )
             acc_e[h] = acc_e[h] * corr
             m[h] = m_new
             p.append(ph)
@@ -371,54 +404,103 @@ def _rel_fwd_kernel(
                 s_h = jnp.sum(p[h] * sin_f, axis=-1, keepdims=True)
                 c_h = jnp.sum(p[h] * cos_f, axis=-1, keepdims=True)
                 acc_e[h] = acc_e[h] + s_h * oh_sin + c_h * oh_cos
+        return tuple(tuple(c) for c in (m, l, acc, acc_e))
+
+    m, l, acc, acc_e = jax.lax.fori_loop(0, L // ts, chunk, init)
     o_cols, oe_cols, lse_cols = [], [], []
     for h in range(n_heads):
         l_safe = jnp.maximum(l[h], 1e-30)
         o_cols.append((acc[h] / l_safe).astype(o_ref.dtype))
         oe_cols.append((acc_e[h] / l_safe).astype(oe_ref.dtype))
         lse_cols.append(m[h] + jnp.log(l_safe))
-    o_ref[0] = jnp.concatenate(o_cols, axis=-1)
-    oe_ref[0] = jnp.concatenate(oe_cols, axis=-1)
-    lse_ref[0] = jnp.concatenate(lse_cols, axis=-1)
+    o_ref[0, 0] = jnp.concatenate(o_cols, axis=-1)
+    oe_ref[0, 0] = jnp.concatenate(oe_cols, axis=-1)
+    lse_ref[0, 0] = jnp.concatenate(lse_cols, axis=-1)
 
 
-def _rel_fwd(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret):
-    """q/qt/qb/k/v in head-folded layout [B, L, H*dim]."""
+def _rel_fwd(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret, hg=0):
+    """q/qt/qb/k/v in head-folded layout [B, L, H*dim].
+
+    ``hg`` = heads per program: the third grid axis trades pair-
+    embedding recompute (H/hg×) against per-program VMEM (all-heads-
+    in-one OOMs the 16 MB kernel stack at H=12, tq=128, ts=256 —
+    25.3 MB).  0 = all heads."""
     B, L, Dq = q.shape
     n_heads = qb.shape[-1]
     hd = Dq // n_heads
     e = qt.shape[-1] // n_heads
     xf = x0.shape[-1]
-    grid = (B, L // tq)
+    if hg <= 0 or hg > n_heads:
+        hg = n_heads
+    if n_heads % hg:
+        raise ValueError(f"heads={n_heads} not divisible by hg={hg}")
+    G = n_heads // hg
+
+    # head groups get their OWN array axis (a lane-dim group block
+    # hg*hd < 128 is Mosaic-illegal); G==1 is a free reshape, G>1 a
+    # cheap XLA transpose (~0.1 ms over the ~90 MB at the DeepIce shape)
+    def regroup(t, d):  # [B, L, H*d] -> [B, G, L, hg*d]
+        if G == 1:
+            return t[:, None]
+        return t.reshape(B, L, G, hg * d).transpose(0, 2, 1, 3)
+
+    grid = (B, G, L // tq)
     kern = functools.partial(
-        _rel_fwd_kernel, tq=tq, ts=ts, e=e, n_heads=n_heads, freqs=freqs
+        _rel_fwd_kernel, tq=tq, ts=ts, e=e, n_heads=hg, freqs=freqs
     )
     o, oe, lse = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tq, n_heads * hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tq, n_heads * e), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tq, n_heads), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L, n_heads * hd), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, L, n_heads * hd), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, tq, xf), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L, xf), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, L), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, tq, hg * hd), lambda b, g, i: (b, g, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, tq, hg * e), lambda b, g, i: (b, g, i, 0)
+            ),
+            pl.BlockSpec((1, 1, tq, hg), lambda b, g, i: (b, g, i, 0)),
+            pl.BlockSpec(
+                (1, 1, L, hg * hd), lambda b, g, i: (b, g, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, L, hg * hd), lambda b, g, i: (b, g, 0, 0)
+            ),
+            pl.BlockSpec((1, tq, xf), lambda b, g, i: (b, i, 0)),
+            pl.BlockSpec((1, L, xf), lambda b, g, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, L), lambda b, g, i: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tq, n_heads * hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tq, n_heads * e), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tq, n_heads), lambda b, i: (b, i, 0)),
+            pl.BlockSpec(
+                (1, 1, tq, hg * hd), lambda b, g, i: (b, g, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, tq, hg * e), lambda b, g, i: (b, g, i, 0)
+            ),
+            pl.BlockSpec((1, 1, tq, hg), lambda b, g, i: (b, g, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L, n_heads * hd), q.dtype),
-            jax.ShapeDtypeStruct((B, L, n_heads * e), jnp.float32),
-            jax.ShapeDtypeStruct((B, L, n_heads), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, L, hg * hd), q.dtype),
+            jax.ShapeDtypeStruct((B, G, L, hg * e), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, L, hg), jnp.float32),
         ],
         interpret=interpret,
-    )(q, qt, qb, k, v, x0, x0, mask)
-    return o, oe, lse
+    )(
+        regroup(q, hd),
+        regroup(qt, e),
+        regroup(qb, 1),
+        regroup(k, hd),
+        regroup(v, hd),
+        x0,
+        x0,
+        mask,
+    )
+
+    def ungroup(t, d):  # [B, G, L, hg*d] -> [B, L, H*d]
+        if G == 1:
+            return t[:, 0]
+        return t.transpose(0, 2, 1, 3).reshape(B, L, n_heads * d)
+
+    return ungroup(o, hd), ungroup(oe, e), ungroup(lse, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -680,19 +762,25 @@ def _rel_bwd(tq, ts, freqs, interpret, residuals, cot):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _rel_core(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret):
-    return _rel_fwd(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _rel_core(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret, hg):
+    return _rel_fwd(
+        q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret, hg
+    )
 
 
-def _rel_core_fwd(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret):
+def _rel_core_fwd(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret, hg):
     o, oe, lse = _rel_fwd(
-        q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret
+        q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret, hg
     )
     return (o, oe, lse), (q, qt, qb, k, v, x0, mask, o, oe, lse)
 
 
-_rel_core.defvjp(_rel_core_fwd, _rel_bwd)
+def _rel_bwd_hg(tq, ts, freqs, interpret, hg, residuals, cot):
+    return _rel_bwd(tq, ts, freqs, interpret, residuals, cot)
+
+
+_rel_core.defvjp(_rel_core_fwd, _rel_bwd_hg)
 
 
 def rel_flash_attention(
@@ -705,6 +793,7 @@ def rel_flash_attention(
     key_padding_mask: Optional[jax.Array] = None,
     tq: int = 128,
     ts: int = 256,
+    heads_per_program: int = 4,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas TPU version of :func:`rel_attention_streaming`.
@@ -743,6 +832,7 @@ def rel_flash_attention(
         ts,
         freqs,
         interpret,
+        heads_per_program if H % max(heads_per_program, 1) == 0 else H,
     )
     o = o.reshape(B, L, H, hd).astype(jnp.float32)
     oe = oe.reshape(B, L, H, e)

@@ -302,6 +302,54 @@ class TestChunkedRelBias:
             np.asarray(out4), np.asarray(out1), rtol=2e-5, atol=2e-5
         )
 
+    def test_flash_equals_materialised(self):
+        """rel_flash="always" (Pallas streaming kernel, interpret mode
+        off-TPU) == the materialised rel-bias path, params identical."""
+        evs = kaggle_events()
+        batch = make_batch(evs, length=128)
+        kwargs = dict(
+            hidden_dim=32,
+            seq_length=32,
+            depth=1,
+            depth_rel=2,
+            n_rel=2,
+            head_size=8,
+            n_features=4,
+        )
+        m1 = DeepIce(**kwargs, rel_flash="never")
+        mf = DeepIce(**kwargs, rel_flash="always")
+        params = m1.init(jax.random.PRNGKey(0), batch)
+        pf = mf.init(jax.random.PRNGKey(0), batch)
+        assert jax.tree_util.tree_structure(
+            params
+        ) == jax.tree_util.tree_structure(pf)
+        out1 = m1.apply(params, batch)
+        outf = mf.apply(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(outf), np.asarray(out1), rtol=2e-4, atol=2e-4
+        )
+
+    def test_flash_grads_finite(self):
+        """Training through the flash path (custom VJP) produces finite
+        grads for every param, incl. the shared rel_pos projection."""
+        evs = kaggle_events()
+        batch = make_batch(evs, length=128)
+        m = DeepIce(
+            hidden_dim=32, seq_length=32, depth=1, depth_rel=1,
+            head_size=8, n_features=4, rel_flash="always",
+        )
+        params = m.init(jax.random.PRNGKey(0), batch)
+
+        def loss(p):
+            return (m.apply(p, batch) ** 2).mean()
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        # the shared SpacetimeEncoder projection receives gradient
+        gp = g["params"]["rel_pos"]["projection"]["kernel"]
+        assert float(np.abs(np.asarray(gp)).max()) > 0
+
     def test_odd_chunking(self):
         evs = kaggle_events()
         batch = make_batch(evs, length=32)

@@ -127,6 +127,21 @@ def test_pallas_interpret_masked():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("hg", [1, 2])
+def test_pallas_interpret_head_groups(hg):
+    """heads_per_program < H (the grid's group axis) must not change
+    the result — the grouped layout regroup/ungroup round-trips."""
+    from graphnet_tpu.ops.rel_flash_attention import rel_flash_attention
+
+    q, k, v, x0, rel, w, b = _setup(L=128, H=4)
+    want = _materialised(q, k, v, rel, None)
+    got = rel_flash_attention(
+        q, k, v, x0, w, b, tq=64, ts=32, heads_per_program=hg,
+        interpret=True,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 def test_pallas_interpret_grads_match():
     """The kernel's recompute custom VJP == autodiff of the streaming
     path, for every differentiable input (q, k, v, W, b)."""

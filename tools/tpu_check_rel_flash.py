@@ -103,6 +103,19 @@ err_bf = float(jnp.max(jnp.abs(got_bf - want)))
 print(json.dumps({"bf16_max_abs_err": err_bf}), flush=True)
 assert err_bf < 0.05 * max(1.0, ref), err_bf
 
+# head-grouping must not change numerics (H=4: hg in {1, 2, 4})
+for hg in (1, 2):
+    got_hg = jax.jit(
+        lambda *a: rel_flash_attention(
+            *a, key_padding_mask=mask, tq=128, ts=128,
+            heads_per_program=hg,
+        )
+    )(q, k, v, x0, w, b)
+    err_hg = float(jnp.max(jnp.abs(got_hg - got)))
+    print(json.dumps({"hg": hg, "vs_all_heads_max_err": err_hg}),
+          flush=True)
+    assert err_hg < 1e-5 * max(1.0, ref), (hg, err_hg)
+
 # --- 2. microbench at the DeepIce bench shape -----------------------------
 B, H, L, hd = 16, 12, 768, 32
 q, k, v, x0, w, b, mask = setup(B, H, L, hd, jnp.bfloat16)
@@ -136,20 +149,24 @@ def dense_chunked(q, k, v, x0, w, b, mask, n_chunks=4):
     return jnp.concatenate(outs, axis=1)
 
 
-for name, fn in (
+variants = [
     (
-        "rel_flash",
+        f"rel_flash_hg{hg}",
         jax.jit(
-            lambda *a: rel_flash_attention(
-                *a, key_padding_mask=mask, tq=128, ts=256
+            lambda *a, hg=hg: rel_flash_attention(
+                *a, key_padding_mask=mask, tq=128, ts=256,
+                heads_per_program=hg,
             )
         ),
-    ),
+    )
+    for hg in (1, 2, 3, 4, 6)
+] + [
     (
         "chunked_dense",
         jax.jit(lambda *a: dense_chunked(*a, mask)),
     ),
-):
+]
+for name, fn in variants:
     out = fn(q, k, v, x0, w, b)
     s0 = float(jnp.sum(out.astype(jnp.float32)))  # warm + hard sync
     t0 = time.perf_counter()

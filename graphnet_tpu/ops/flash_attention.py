@@ -254,10 +254,13 @@ def _pick_tile(L: int, cap: int) -> int:
 
 
 def supported(L: int, D_head: int, backend: Optional[str] = None) -> bool:
-    """Flash path engages for long, tile-aligned sequences on TPU."""
+    """Flash path engages for long sequences on TPU.  Ragged L is fine —
+    :func:`flash_attention` right-pads to the 128-lane tile internally
+    (before this, DeepIce's +1 cls token silently demoted all 12 main
+    blocks to the dense [B,H,L,L] path: L=769 % 128 != 0)."""
     if backend is None:
         backend = jax.default_backend()
-    return backend == "tpu" and L >= 512 and L % 128 == 0 and D_head <= 128
+    return backend == "tpu" and L >= 512 and D_head <= 128
 
 
 def flash_attention(
@@ -281,6 +284,20 @@ def flash_attention(
         ``[B, H, L, D_head]``, same dtype as ``q``.
     """
     B, H, L, D = q.shape
+    if key_padding_mask is None:
+        key_padding_mask = jnp.ones((B, L), bool)
+    # ragged L: right-pad to the 128-lane tile.  Padded KEYS are masked
+    # out; padded QUERY rows attend the valid keys with a zero query
+    # (finite, uniform) and are sliced off below.
+    Lq = L
+    Lp = -(-L // 128) * 128
+    if Lp != L:
+        pad = ((0, 0), (0, 0), (0, Lp - L), (0, 0))
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        key_padding_mask = jnp.pad(
+            key_padding_mask, ((0, 0), (0, Lp - L))
+        )
+        L = Lp
     if tq is None:
         tq = _pick_tile(L, TQ)
     if ts is None:
@@ -293,8 +310,6 @@ def flash_attention(
         )
     if scale is None:
         scale = 1.0 / float(np.sqrt(D))
-    if key_padding_mask is None:
-        key_padding_mask = jnp.ones((B, L), bool)
     mask = jnp.repeat(
         key_padding_mask.astype(jnp.float32), H, axis=0
     )[:, None, :]  # [BH, 1, L] (Mosaic block = full trailing dims)
@@ -303,4 +318,4 @@ def flash_attention(
         return t.reshape(B * H, L, D)
 
     o = _flash_bh(bh(q), bh(k), bh(v), mask, float(scale), tq, ts)
-    return o.reshape(B, H, L, D)
+    return o.reshape(B, H, L, D)[:, :, :Lq]

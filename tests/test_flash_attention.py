@@ -98,7 +98,44 @@ def test_supported_gate():
     assert not fa.supported(128, 32, backend="tpu")  # short seq: dense
     assert fa.supported(1024, 32, backend="tpu")
     assert not fa.supported(1024, 32, backend="cpu")
-    assert not fa.supported(1000, 32, backend="tpu")  # not tile-aligned
+    # ragged L is padded internally (DeepIce cls token makes L=769)
+    assert fa.supported(1000, 32, backend="tpu")
+    assert fa.supported(769, 32, backend="tpu")
+
+
+class TestRaggedL:
+    """L not a multiple of 128: the wrapper right-pads internally and
+    slices the tail — exactly the DeepIce post-cls-token shape."""
+
+    @pytest.mark.parametrize("L", [769, 200])
+    def test_matches_dense(self, L):
+        q, k, v, mask = _inputs(L=L)
+        out = fa.flash_attention(q, k, v, mask)
+        assert out.shape == q.shape
+        ref = dense_reference(q, k, v, mask, 1.0 / np.sqrt(32))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+        )
+
+    def test_grads_match_dense(self):
+        q, k, v, mask = _inputs(L=200)
+        scale = 1.0 / np.sqrt(q.shape[-1])
+
+        def loss_flash(args):
+            return (
+                fa.flash_attention(*args, mask) ** 2
+            ).sum()
+
+        def loss_dense(args):
+            return (dense_reference(*args, mask, scale) ** 2).sum()
+
+        gf = jax.grad(loss_flash)((q, k, v))
+        gd = jax.grad(loss_dense)((q, k, v))
+        for name, a, b in zip("qkv", gf, gd):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+                err_msg=f"d{name}",
+            )
 
 
 class TestBf16:

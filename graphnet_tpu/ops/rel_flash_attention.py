@@ -526,237 +526,287 @@ def _rel_bwd_dq_kernel(
     q_ref, qt_ref, qb_ref, k_ref, v_ref, xq_ref, xk_ref, mask_ref,
     lse_ref, do_ref, doe_ref, delta_ref,
     dq_ref, dqt_ref, dqb_ref,
-    *, tq, ts, e, freqs,
+    *, tq, ts, e, n_heads, freqs,
 ):
+    """Grid (B, G, L//tq): all ``n_heads`` (= heads-per-group) share
+    each chunk's pair-embedding planes, mirroring the forward."""
     dt = q_ref.dtype
-    q = q_ref[0]
-    qt = qt_ref[0].astype(jnp.float32)
-    qb = qb_ref[0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    qt = qt_ref[0, 0].astype(jnp.float32)
+    qb = qb_ref[0, 0].astype(jnp.float32)
     xq = xq_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]  # [tq, 1]
-    do = do_ref[0]  # [tq, hd]
-    doe = doe_ref[0].astype(jnp.float32)  # [tq, e]
-    delta = delta_ref[0]  # [tq, 1]
-    L = k_ref.shape[1]
-    hd = q.shape[-1]
+    lse = lse_ref[0, 0]  # [tq, hg]
+    do = do_ref[0, 0]  # [tq, hg*hd]
+    doe = doe_ref[0, 0].astype(jnp.float32)  # [tq, hg*e]
+    delta = delta_ref[0, 0]  # [tq, hg]
+    L = k_ref.shape[2]
+    hd = q.shape[-1] // n_heads
     half = e // 2
     ones_q = jnp.ones((tq, 1), jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, e), 1)
-    dq = jnp.zeros((tq, hd), jnp.float32)
-    dqt = jnp.zeros((tq, e), jnp.float32)
-    dqb = jnp.zeros((tq, 1), jnp.float32)
-    for s in range(L // ts):
-        kc = k_ref[0, s * ts : (s + 1) * ts, :]
-        vc = v_ref[0, s * ts : (s + 1) * ts, :]
-        xk = xk_ref[0, s * ts : (s + 1) * ts, :].astype(jnp.float32)
+    init = (
+        tuple(jnp.zeros((tq, hd), jnp.float32) for _ in range(n_heads)),
+        tuple(jnp.zeros((tq, e), jnp.float32) for _ in range(n_heads)),
+        tuple(jnp.zeros((tq, 1), jnp.float32) for _ in range(n_heads)),
+    )
+
+    def chunk(s, carry):
+        dq, dqt, dqb = (list(c) for c in carry)
+        xk = xk_ref[0, pl.ds(s * ts, ts), :].astype(jnp.float32)
         arg = _pair_arg(xq, ones_q, xk)
-        logits = _dot(q, kc, ((1,), (1,))) + qb
-        dp = _dot(do, vc, ((1,), (1,)))  # [tq, ts]
-        for h in range(half):
-            sin_h, cos_h = _sincos_rr(arg * freqs[h])
-            logits = (
-                logits
-                + qt[:, h : h + 1] * sin_h
-                + qt[:, half + h : half + h + 1] * cos_h
+        valid = mask_ref[0, 0:1, pl.ds(s * ts, ts)]  # [1, ts]
+        logits, dp, kcs = [], [], []
+        for h in range(n_heads):
+            kc = k_ref[0, 0, pl.ds(s * ts, ts), h * hd : (h + 1) * hd]
+            vc = v_ref[0, 0, pl.ds(s * ts, ts), h * hd : (h + 1) * hd]
+            qh = q[:, h * hd : (h + 1) * hd]
+            logits.append(
+                _dot(qh, kc, ((1,), (1,))) + qb[:, h : h + 1]
             )
-            dp = (
-                dp
-                + doe[:, h : h + 1] * sin_h
-                + doe[:, half + h : half + h + 1] * cos_h
-            )
-        valid = mask_ref[0, 0:1, s * ts : (s + 1) * ts]
-        logits = jnp.where(valid > 0, logits, _NEG_K)
-        p = jnp.exp(logits - lse)  # [tq, ts] fp32, normalised
-        ds = p * (dp - delta) * valid
-        dq = dq + _dot(ds.astype(dt), kc, ((1,), (0,)))
-        dqb = dqb + jnp.sum(ds, axis=-1, keepdims=True)
-        upd = jnp.zeros((tq, e), jnp.float32)
-        for h in range(half):
-            sin_h, cos_h = _sincos_rr(arg * freqs[h])
-            s_h = jnp.sum(ds * sin_h, axis=-1, keepdims=True)
-            c_h = jnp.sum(ds * cos_h, axis=-1, keepdims=True)
-            upd = (
-                upd
-                + s_h * (lane == h).astype(jnp.float32)
-                + c_h * (lane == half + h).astype(jnp.float32)
-            )
-        dqt = dqt + upd
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dqt_ref[0] = dqt.astype(dqt_ref.dtype)
-    dqb_ref[0] = dqb.astype(dqb_ref.dtype)
+            dph = _dot(do[:, h * hd : (h + 1) * hd], vc, ((1,), (1,)))
+            dp.append(dph)
+            kcs.append(kc)
+        for f in range(half):
+            sin_f, cos_f = _sincos_rr(arg * freqs[f])
+            for h in range(n_heads):
+                qth = qt[:, h * e : (h + 1) * e]
+                deh = doe[:, h * e : (h + 1) * e]
+                logits[h] = (
+                    logits[h]
+                    + qth[:, f : f + 1] * sin_f
+                    + qth[:, half + f : half + f + 1] * cos_f
+                )
+                dp[h] = (
+                    dp[h]
+                    + deh[:, f : f + 1] * sin_f
+                    + deh[:, half + f : half + f + 1] * cos_f
+                )
+        ds = []
+        for h in range(n_heads):
+            lg = jnp.where(valid > 0, logits[h], _NEG_K)
+            p = jnp.exp(lg - lse[:, h : h + 1])  # normalised
+            dsh = p * (dp[h] - delta[:, h : h + 1]) * valid
+            dq[h] = dq[h] + _dot(dsh.astype(dt), kcs[h], ((1,), (0,)))
+            dqb[h] = dqb[h] + jnp.sum(dsh, axis=-1, keepdims=True)
+            ds.append(dsh)
+        for f in range(half):
+            sin_f, cos_f = _sincos_rr(arg * freqs[f])
+            oh_sin = (lane == f).astype(jnp.float32)
+            oh_cos = (lane == half + f).astype(jnp.float32)
+            for h in range(n_heads):
+                s_h = jnp.sum(ds[h] * sin_f, axis=-1, keepdims=True)
+                c_h = jnp.sum(ds[h] * cos_f, axis=-1, keepdims=True)
+                dqt[h] = dqt[h] + s_h * oh_sin + c_h * oh_cos
+        return tuple(tuple(c) for c in (dq, dqt, dqb))
+
+    dq, dqt, dqb = jax.lax.fori_loop(0, L // ts, chunk, init)
+    dq_ref[0, 0] = jnp.concatenate(dq, axis=-1).astype(dq_ref.dtype)
+    dqt_ref[0, 0] = jnp.concatenate(dqt, axis=-1).astype(dqt_ref.dtype)
+    dqb_ref[0, 0] = jnp.concatenate(dqb, axis=-1).astype(dqb_ref.dtype)
 
 
 def _rel_bwd_dkv_kernel(
     q_ref, qt_ref, qb_ref, k_ref, v_ref, xq_ref, xk_ref, mask_ref,
     lse_ref, do_ref, doe_ref, delta_ref,
     dk_ref, dv_ref,
-    *, tq, ts, e, freqs,
+    *, tq, ts, e, n_heads, freqs,
 ):
+    """Grid (B, G, L//ts): the key chunk is resident; loop query tiles,
+    sharing each tile's pair-embedding planes across the group."""
     dt = q_ref.dtype
-    kc = k_ref[0]  # [ts, hd]
-    vc = v_ref[0]
     xk = xk_ref[0].astype(jnp.float32)
-    si = pl.program_id(1)
+    si = pl.program_id(2)
     valid = mask_ref[0, 0:1, pl.ds(si * ts, ts)]  # [1, ts]
-    L = q_ref.shape[1]
-    hd = kc.shape[-1]
+    L = q_ref.shape[2]
+    hd = k_ref.shape[-1] // n_heads
     half = e // 2
-    dk = jnp.zeros((ts, hd), jnp.float32)
-    dv = jnp.zeros((ts, hd), jnp.float32)
-    for t in range(L // tq):
-        qj = q_ref[0, t * tq : (t + 1) * tq, :]
-        qtj = qt_ref[0, t * tq : (t + 1) * tq, :].astype(jnp.float32)
-        qbj = qb_ref[0, t * tq : (t + 1) * tq, :].astype(jnp.float32)
-        xq = xq_ref[0, t * tq : (t + 1) * tq, :].astype(jnp.float32)
-        lse = lse_ref[0, t * tq : (t + 1) * tq, :]
-        do = do_ref[0, t * tq : (t + 1) * tq, :]
-        doe = doe_ref[0, t * tq : (t + 1) * tq, :].astype(jnp.float32)
-        delta = delta_ref[0, t * tq : (t + 1) * tq, :]
-        ones_q = jnp.ones((tq, 1), jnp.float32)
+    ones_q = jnp.ones((tq, 1), jnp.float32)
+    init = (
+        tuple(jnp.zeros((ts, hd), jnp.float32) for _ in range(n_heads)),
+        tuple(jnp.zeros((ts, hd), jnp.float32) for _ in range(n_heads)),
+    )
+
+    def tile(t, carry):
+        dk, dv = (list(c) for c in carry)
+        qj = q_ref[0, 0, pl.ds(t * tq, tq), :]
+        qtj = qt_ref[0, 0, pl.ds(t * tq, tq), :].astype(jnp.float32)
+        qbj = qb_ref[0, 0, pl.ds(t * tq, tq), :].astype(jnp.float32)
+        xq = xq_ref[0, pl.ds(t * tq, tq), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(t * tq, tq), :]
+        do = do_ref[0, 0, pl.ds(t * tq, tq), :]
+        doe = doe_ref[0, 0, pl.ds(t * tq, tq), :].astype(jnp.float32)
+        delta = delta_ref[0, 0, pl.ds(t * tq, tq), :]
         arg = _pair_arg(xq, ones_q, xk)
-        logits = _dot(qj, kc, ((1,), (1,))) + qbj
-        dp = _dot(do, vc, ((1,), (1,)))
-        for h in range(half):
-            sin_h, cos_h = _sincos_rr(arg * freqs[h])
-            logits = (
-                logits
-                + qtj[:, h : h + 1] * sin_h
-                + qtj[:, half + h : half + h + 1] * cos_h
+        logits, dp = [], []
+        for h in range(n_heads):
+            qh = qj[:, h * hd : (h + 1) * hd]
+            kc = k_ref[0, 0, :, h * hd : (h + 1) * hd]
+            vc = v_ref[0, 0, :, h * hd : (h + 1) * hd]
+            logits.append(
+                _dot(qh, kc, ((1,), (1,))) + qbj[:, h : h + 1]
             )
-            dp = (
-                dp
-                + doe[:, h : h + 1] * sin_h
-                + doe[:, half + h : half + h + 1] * cos_h
+            dp.append(
+                _dot(do[:, h * hd : (h + 1) * hd], vc, ((1,), (1,)))
             )
-        logits = jnp.where(valid > 0, logits, _NEG_K)
-        p = jnp.exp(logits - lse)
-        ds = (p * (dp - delta) * valid).astype(dt)
-        dk = dk + _dot(ds, qj, ((0,), (0,)))  # [ts, hd]
-        dv = dv + _dot(p.astype(dt), do, ((0,), (0,)))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        for f in range(half):
+            sin_f, cos_f = _sincos_rr(arg * freqs[f])
+            for h in range(n_heads):
+                qth = qtj[:, h * e : (h + 1) * e]
+                deh = doe[:, h * e : (h + 1) * e]
+                logits[h] = (
+                    logits[h]
+                    + qth[:, f : f + 1] * sin_f
+                    + qth[:, half + f : half + f + 1] * cos_f
+                )
+                dp[h] = (
+                    dp[h]
+                    + deh[:, f : f + 1] * sin_f
+                    + deh[:, half + f : half + f + 1] * cos_f
+                )
+        for h in range(n_heads):
+            lg = jnp.where(valid > 0, logits[h], _NEG_K)
+            p = jnp.exp(lg - lse[:, h : h + 1])
+            dsh = (p * (dp[h] - delta[:, h : h + 1]) * valid).astype(dt)
+            qh = qj[:, h * hd : (h + 1) * hd]
+            dk[h] = dk[h] + _dot(dsh, qh, ((0,), (0,)))  # [ts, hd]
+            dv[h] = dv[h] + _dot(
+                p.astype(dt), do[:, h * hd : (h + 1) * hd], ((0,), (0,))
+            )
+        return tuple(tuple(c) for c in (dk, dv))
+
+    dk, dv = jax.lax.fori_loop(0, L // tq, tile, init)
+    dk_ref[0, 0] = jnp.concatenate(dk, axis=-1).astype(dk_ref.dtype)
+    dv_ref[0, 0] = jnp.concatenate(dv, axis=-1).astype(dv_ref.dtype)
 
 
-def _rel_bwd(tq, ts, freqs, interpret, residuals, cot):
-    """Backward over the folded-layout core.
-
-    The bwd kernels keep the per-(batch·head) layout — the reshapes at
-    this boundary are cheap XLA transposes (~30 MB at the DeepIce bench
-    shape), and training wires through the streaming/chunked path until
-    the bwd kernels get the same head-folding treatment; the folded fwd
-    is what serving needs."""
+def _rel_bwd(tq, ts, freqs, interpret, hg, residuals, cot):
+    """Backward over the folded-layout core, in the same grouped layout
+    as the forward ([B, G, L, hg*d]; the pair embedding is recomputed
+    once per GROUP, not once per head)."""
     qf, qtf, qbf, kf, vf, x0b, maskb, of, oef, lsef = residuals
     dof, doef, _dlse = cot
     B, L, Dq = qf.shape
     H = qbf.shape[-1]
     hd = Dq // H
     e = qtf.shape[-1] // H
+    if hg <= 0 or hg > H:
+        hg = H
+    G = H // hg
+    xf = x0b.shape[-1]
 
-    def ph(t, d):  # [B, L, H*d] -> [B*H, L, d]
-        return (
-            t.reshape(B, L, H, d)
-            .transpose(0, 2, 1, 3)
-            .reshape(B * H, L, d)
-        )
+    def regroup(t, d):  # [B, L, H*d] -> [B, G, L, hg*d]
+        if G == 1:
+            return t[:, None]
+        return t.reshape(B, L, G, hg * d).transpose(0, 2, 1, 3)
 
-    q = ph(qf, hd)
-    qt = ph(qtf, e)
-    qb = ph(qbf, 1)
-    k = ph(kf, hd)
-    v = ph(vf, hd)
-    o = ph(of, hd)
-    oe = ph(oef, e)
-    lse = ph(lsef, 1)
-    do = ph(dof, hd).astype(q.dtype)
-    doe = ph(doef, e)
-    x0 = jnp.repeat(x0b[:, None], H, axis=1).reshape(
-        B * H, L, x0b.shape[-1]
-    )
-    mask = jnp.repeat(maskb, H, axis=0)
-    BH = B * H
-    xf = x0.shape[-1]
-    delta = jnp.sum(
-        do.astype(jnp.float32) * o.astype(jnp.float32),
-        axis=-1,
-        keepdims=True,
-    ) + jnp.sum(doe.astype(jnp.float32) * oe, axis=-1, keepdims=True)
+    # delta_i[h] = do·o + doe·oe per head, fp32
+    def per_head_dot(a, b_, d):
+        prod = (
+            a.astype(jnp.float32) * b_.astype(jnp.float32)
+        ).reshape(B, L, H, d)
+        return prod.sum(axis=-1)  # [B, L, H]
+
+    delta = per_head_dot(dof, of, hd) + per_head_dot(doef, oef, e)
+
+    q = regroup(qf, hd)
+    qt = regroup(qtf, e)
+    qb = regroup(qbf, 1)
+    k = regroup(kf, hd)
+    v = regroup(vf, hd)
+    lse = regroup(lsef, 1)
+    do = regroup(dof, hd).astype(q.dtype)
+    doe = regroup(doef, e)
+    delta_g = regroup(delta, 1)
     common_specs = [
-        pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0)),  # q tile
-        pl.BlockSpec((1, tq, e), lambda b, i: (b, i, 0)),  # qt tile
-        pl.BlockSpec((1, tq, 1), lambda b, i: (b, i, 0)),  # qb tile
-        pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),  # k
-        pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),  # v
-        pl.BlockSpec((1, tq, xf), lambda b, i: (b, i, 0)),  # xq tile
-        pl.BlockSpec((1, L, xf), lambda b, i: (b, 0, 0)),  # xk
-        pl.BlockSpec((1, 1, L), lambda b, i: (b, 0, 0)),  # mask
-        pl.BlockSpec((1, tq, 1), lambda b, i: (b, i, 0)),  # lse tile
-        pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0)),  # do tile
-        pl.BlockSpec((1, tq, e), lambda b, i: (b, i, 0)),  # doe tile
-        pl.BlockSpec((1, tq, 1), lambda b, i: (b, i, 0)),  # delta tile
+        pl.BlockSpec((1, 1, tq, hg * hd), lambda b, g, i: (b, g, i, 0)),
+        pl.BlockSpec((1, 1, tq, hg * e), lambda b, g, i: (b, g, i, 0)),
+        pl.BlockSpec((1, 1, tq, hg), lambda b, g, i: (b, g, i, 0)),
+        pl.BlockSpec((1, 1, L, hg * hd), lambda b, g, i: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, L, hg * hd), lambda b, g, i: (b, g, 0, 0)),
+        pl.BlockSpec((1, tq, xf), lambda b, g, i: (b, i, 0)),  # xq
+        pl.BlockSpec((1, L, xf), lambda b, g, i: (b, 0, 0)),  # xk
+        pl.BlockSpec((1, 1, L), lambda b, g, i: (b, 0, 0)),  # mask
+        pl.BlockSpec((1, 1, tq, hg), lambda b, g, i: (b, g, i, 0)),
+        pl.BlockSpec((1, 1, tq, hg * hd), lambda b, g, i: (b, g, i, 0)),
+        pl.BlockSpec((1, 1, tq, hg * e), lambda b, g, i: (b, g, i, 0)),
+        pl.BlockSpec((1, 1, tq, hg), lambda b, g, i: (b, g, i, 0)),
     ]
     dq, dqt, dqb = pl.pallas_call(
         functools.partial(
-            _rel_bwd_dq_kernel, tq=tq, ts=ts, e=e, freqs=freqs
+            _rel_bwd_dq_kernel, tq=tq, ts=ts, e=e, n_heads=hg,
+            freqs=freqs,
         ),
-        grid=(BH, L // tq),
+        grid=(B, G, L // tq),
         in_specs=common_specs,
         out_specs=[
-            pl.BlockSpec((1, tq, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tq, e), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tq, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec(
+                (1, 1, tq, hg * hd), lambda b, g, i: (b, g, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, tq, hg * e), lambda b, g, i: (b, g, i, 0)
+            ),
+            pl.BlockSpec((1, 1, tq, hg), lambda b, g, i: (b, g, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, L, hd), q.dtype),
-            jax.ShapeDtypeStruct((BH, L, e), jnp.float32),
-            jax.ShapeDtypeStruct((BH, L, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, L, hg * hd), q.dtype),
+            jax.ShapeDtypeStruct((B, G, L, hg * e), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, L, hg), jnp.float32),
         ],
         interpret=interpret,
-    )(q, qt, qb, k, v, x0, x0, mask, lse, do, doe, delta)
+    )(q, qt, qb, k, v, x0b, x0b, maskb, lse, do, doe, delta_g)
     full_specs = [
-        pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),  # q
-        pl.BlockSpec((1, L, e), lambda b, i: (b, 0, 0)),  # qt
-        pl.BlockSpec((1, L, 1), lambda b, i: (b, 0, 0)),  # qb
-        pl.BlockSpec((1, ts, hd), lambda b, i: (b, i, 0)),  # k chunk
-        pl.BlockSpec((1, ts, hd), lambda b, i: (b, i, 0)),  # v chunk
-        pl.BlockSpec((1, L, xf), lambda b, i: (b, 0, 0)),  # xq
-        pl.BlockSpec((1, ts, xf), lambda b, i: (b, i, 0)),  # xk chunk
-        pl.BlockSpec((1, 1, L), lambda b, i: (b, 0, 0)),  # mask
-        pl.BlockSpec((1, L, 1), lambda b, i: (b, 0, 0)),  # lse
-        pl.BlockSpec((1, L, hd), lambda b, i: (b, 0, 0)),  # do
-        pl.BlockSpec((1, L, e), lambda b, i: (b, 0, 0)),  # doe
-        pl.BlockSpec((1, L, 1), lambda b, i: (b, 0, 0)),  # delta
+        pl.BlockSpec((1, 1, L, hg * hd), lambda b, g, i: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, L, hg * e), lambda b, g, i: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, L, hg), lambda b, g, i: (b, g, 0, 0)),
+        pl.BlockSpec(
+            (1, 1, ts, hg * hd), lambda b, g, i: (b, g, i, 0)
+        ),  # k chunk
+        pl.BlockSpec(
+            (1, 1, ts, hg * hd), lambda b, g, i: (b, g, i, 0)
+        ),  # v chunk
+        pl.BlockSpec((1, L, xf), lambda b, g, i: (b, 0, 0)),  # xq
+        pl.BlockSpec((1, ts, xf), lambda b, g, i: (b, i, 0)),  # xk
+        pl.BlockSpec((1, 1, L), lambda b, g, i: (b, 0, 0)),  # mask
+        pl.BlockSpec((1, 1, L, hg), lambda b, g, i: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, L, hg * hd), lambda b, g, i: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, L, hg * e), lambda b, g, i: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, L, hg), lambda b, g, i: (b, g, 0, 0)),
     ]
     dk, dv = pl.pallas_call(
         functools.partial(
-            _rel_bwd_dkv_kernel, tq=tq, ts=ts, e=e, freqs=freqs
+            _rel_bwd_dkv_kernel, tq=tq, ts=ts, e=e, n_heads=hg,
+            freqs=freqs,
         ),
-        grid=(BH, L // ts),
+        grid=(B, G, L // ts),
         in_specs=full_specs,
         out_specs=[
-            pl.BlockSpec((1, ts, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, ts, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec(
+                (1, 1, ts, hg * hd), lambda b, g, i: (b, g, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, ts, hg * hd), lambda b, g, i: (b, g, i, 0)
+            ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, L, hd), k.dtype),
-            jax.ShapeDtypeStruct((BH, L, hd), v.dtype),
+            jax.ShapeDtypeStruct((B, G, L, hg * hd), k.dtype),
+            jax.ShapeDtypeStruct((B, G, L, hg * hd), v.dtype),
         ],
         interpret=interpret,
-    )(q, qt, qb, k, v, x0, x0, mask, lse, do, doe, delta)
-    def fold(t, d):  # [B*H, L, d] -> [B, L, H*d]
-        return (
-            t.reshape(B, H, L, d)
-            .transpose(0, 2, 1, 3)
-            .reshape(B, L, H * d)
-        )
+    )(q, qt, qb, k, v, x0b, x0b, maskb, lse, do, doe, delta_g)
+
+    def ungroup(t, d):  # [B, G, L, hg*d] -> [B, L, H*d]
+        if G == 1:
+            return t[:, 0]
+        return t.transpose(0, 2, 1, 3).reshape(B, L, H * d)
 
     # cotangent dtypes must match the primals: qt/qb promote to fp32
     # under bf16 q (bf16 × fp32-weights einsum)
     return (
-        fold(dq, hd),
-        fold(dqt, e).astype(qtf.dtype),
-        fold(dqb, 1).astype(qbf.dtype),
-        fold(dk, hd),
-        fold(dv, hd),
+        ungroup(dq, hd),
+        ungroup(dqt, e).astype(qtf.dtype),
+        ungroup(dqb, 1).astype(qbf.dtype),
+        ungroup(dk, hd),
+        ungroup(dv, hd),
         None,
         None,
     )
@@ -776,11 +826,7 @@ def _rel_core_fwd(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret, hg):
     return (o, oe, lse), (q, qt, qb, k, v, x0, mask, o, oe, lse)
 
 
-def _rel_bwd_hg(tq, ts, freqs, interpret, hg, residuals, cot):
-    return _rel_bwd(tq, ts, freqs, interpret, residuals, cot)
-
-
-_rel_core.defvjp(_rel_core_fwd, _rel_bwd_hg)
+_rel_core.defvjp(_rel_core_fwd, _rel_bwd)
 
 
 def rel_flash_attention(

@@ -142,6 +142,40 @@ def test_pallas_interpret_head_groups(hg):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_pallas_interpret_head_groups_grads():
+    """The grouped bwd kernels (G > 1) == streaming-path autodiff."""
+    from graphnet_tpu.ops.rel_flash_attention import (
+        rel_attention_streaming,
+        rel_flash_attention,
+    )
+
+    q, k, v, x0, rel, w, b = _setup(L=128, H=4)
+    rng = np.random.default_rng(5)
+    mask = jnp.asarray(rng.random((2, 128)) > 0.3)
+    mask = mask.at[:, 0].set(True)
+
+    def loss_kernel(args):
+        out = rel_flash_attention(
+            *args[:3], x0, *args[3:], key_padding_mask=mask,
+            tq=64, ts=32, heads_per_program=2, interpret=True,
+        )
+        return (out**2).sum()
+
+    def loss_stream(args):
+        out = rel_attention_streaming(
+            *args[:3], x0, *args[3:], key_padding_mask=mask, ts=32
+        )
+        return (out**2).sum()
+
+    args = (q, k, v, w, b)
+    g_k = jax.grad(loss_kernel)(args)
+    g_s = jax.grad(loss_stream)(args)
+    for name, a, b_ in zip("qkvwb", g_k, g_s):
+        np.testing.assert_allclose(
+            a, b_, rtol=1e-3, atol=1e-3, err_msg=f"grad {name}"
+        )
+
+
 def test_pallas_interpret_grads_match():
     """The kernel's recompute custom VJP == autodiff of the streaming
     path, for every differentiable input (q, k, v, W, b)."""

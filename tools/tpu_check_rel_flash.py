@@ -116,6 +116,32 @@ for hg in (1, 2):
           flush=True)
     assert err_hg < 1e-5 * max(1.0, ref), (hg, err_hg)
 
+# --- 1b. bwd kernels: Mosaic compile + grads vs streaming autodiff --------
+def loss_kernel(args):
+    out = rel_flash_attention(
+        *args[:3], x0, *args[3:], key_padding_mask=mask, tq=128, ts=128,
+        heads_per_program=2,
+    )
+    return (out**2).sum()
+
+
+def loss_stream(args):
+    out = rel_attention_streaming(
+        *args[:3], x0, *args[3:], key_padding_mask=mask, ts=128
+    )
+    return (out**2).sum()
+
+
+args = (q, k, v, w, b)
+g_k = jax.jit(jax.grad(loss_kernel))(args)
+g_s = jax.jit(jax.grad(loss_stream))(args)
+for name, a, b_ in zip("qkvwb", g_k, g_s):
+    err = float(jnp.max(jnp.abs(a - b_)))
+    rel = float(jnp.max(jnp.abs(b_)))
+    print(json.dumps({"grad": name, "max_abs_err": err, "ref": rel}),
+          flush=True)
+    assert err < 5e-3 * max(1.0, rel), (name, err, rel)
+
 # --- 2. microbench at the DeepIce bench shape -----------------------------
 B, H, L, hd = 16, 12, 768, 32
 q, k, v, x0, w, b, mask = setup(B, H, L, hd, jnp.bfloat16)

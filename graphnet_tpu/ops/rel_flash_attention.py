@@ -685,6 +685,11 @@ def _rel_bwd(tq, ts, freqs, interpret, hg, residuals, cot):
     once per GROUP, not once per head)."""
     qf, qtf, qbf, kf, vf, x0b, maskb, of, oef, lsef = residuals
     dof, doef, _dlse = cot
+    # the bwd kernels hold more per-chunk planes live than the fwd
+    # (logits+dp+ds per head, two freq sweeps); ts=256 at hg=4 blew the
+    # 16 MB scoped-vmem stack by 1.7 MB at the DeepIce shape — halve
+    # the key tile for the backward only
+    ts = min(ts, 128)
     B, L, Dq = qf.shape
     H = qbf.shape[-1]
     hd = Dq // H

@@ -253,6 +253,27 @@ def _pick_tile(L: int, cap: int) -> int:
     return min(t, L)
 
 
+# relative kernel speed per key-tile size (v5e sweep in the header:
+# fwd+bwd 1.71/1.27/1.00 ms for ts=128/256/512 at fixed work)
+_TILE_SPEED = {128: 1.0 / 1.71, 256: 1.0 / 1.27, 512: 1.0}
+
+
+def _pick_pad(L: int) -> int:
+    """Padded length for ragged L: minimise (padded work) x (tile
+    slowness).  Small tiles are pipeline-fill-bound at D_head=32, so
+    padding PAST the next 128-multiple often wins — e.g. DeepIce's
+    L=769 pads to 1024 (tiles 1024/512) rather than 896 (stuck at
+    128/128): 1.77x work at 1.0 beats 1.36x work at 1.71."""
+    best, best_cost = None, None
+    for m in (128, 256, 512):
+        Lp = -(-L // m) * m
+        ts = _pick_tile(Lp, TS)
+        cost = (Lp / L) ** 2 / _TILE_SPEED[min(ts, 512)]
+        if best_cost is None or cost < best_cost:
+            best, best_cost = Lp, cost
+    return best
+
+
 def supported(L: int, D_head: int, backend: Optional[str] = None) -> bool:
     """Flash path engages for long sequences on TPU.  Ragged L is fine —
     :func:`flash_attention` right-pads to the 128-lane tile internally
@@ -290,7 +311,7 @@ def flash_attention(
     # out; padded QUERY rows attend the valid keys with a zero query
     # (finite, uniform) and are sliced off below.
     Lq = L
-    Lp = -(-L // 128) * 128
+    Lp = _pick_pad(L)
     if Lp != L:
         pad = ((0, 0), (0, 0), (0, Lp - L), (0, 0))
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))

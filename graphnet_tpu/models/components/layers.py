@@ -597,9 +597,19 @@ class AttentionRel(nn.Module):
     rel_chunks: int = 1
     # use the Pallas streaming rel-bias kernel for the biased path when
     # the shape qualifies (requires ``rel_source``): "never", "always",
-    # or "auto" (= on the TPU backend only — Mosaic lowering)
+    # or "auto" (TPU backend AND L >= _REL_FLASH_MIN_LEN).  Measured
+    # negative result at L=768, B=16, H=12 (tools/tpu_check_rel_flash):
+    # the XLA chunked-dense path wins on speed (fwd 14.5 vs 16.7 ms,
+    # hg=6) because the pair-embedding transcendentals + per-head FMA
+    # planes are VPU-bound while the dense einsums ride the MXU; both
+    # scale O(L^2), so the kernel's value is MEMORY (no O(L^2*e) HBM
+    # tensor) — engage it only where that matters.
     rel_flash: str = "auto"
     dtype: Optional[jnp.dtype] = None
+
+    # L at which the chunked-dense path's O(L^2) HBM buffers (rel chunk
+    # + fp32 attn planes, fwd AND saved-for-bwd) start to dominate HBM
+    _REL_FLASH_MIN_LEN = 1536
 
     @nn.compact
     def __call__(
@@ -638,6 +648,7 @@ class AttentionRel(nn.Module):
             use_flash = self.rel_flash == "always" or (
                 self.rel_flash == "auto"
                 and jax.default_backend() == "tpu"
+                and L >= self._REL_FLASH_MIN_LEN
             )
             # the kernel's rel-value fold requires pair-feature dim ==
             # head dim (true for DeepIce: SpacetimeEncoder(head_size))

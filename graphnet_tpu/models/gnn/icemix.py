@@ -43,9 +43,10 @@ class DeepIce(GNN):
     # bias path drops by this factor (use for L >= ~1024)
     rel_bias_chunks: int = 1
     # Pallas streaming rel-bias kernel (ops/rel_flash_attention.py):
-    # "auto" = on the TPU backend when the shape qualifies; "always";
-    # "never".  Supersedes both the materialised and chunked paths —
-    # the pair tensor never touches HBM
+    # "auto" = TPU backend AND L >= 1536 (below that the XLA chunked-
+    # dense path is faster — measured, see AttentionRel); "always";
+    # "never".  The kernel's win is memory: the O(L^2*e) pair tensor
+    # never touches HBM, which is what long-L DeepIce needs
     rel_flash: str = "auto"
     # "bfloat16" runs every transformer matmul (qkv/proj/MLP/Fourier-MLP
     # and the attention-weight products) at bf16 with fp32 softmax and
@@ -82,11 +83,14 @@ class DeepIce(GNN):
             rel_flash_supported,
         )
 
+        from graphnet_tpu.models.components.layers import AttentionRel
+
         flash_ok = (
             self.rel_flash == "always"
             or (
                 self.rel_flash == "auto"
                 and jax.default_backend() == "tpu"
+                and L >= AttentionRel._REL_FLASH_MIN_LEN
             )
         ) and rel_flash_supported(L, self.head_size)
         if self.rel_bias_chunks > 1 or flash_ok:

@@ -100,7 +100,9 @@ class FourierEncoder(nn.Module):
         mlp_dim = self.mlp_dim or hidden_dim
         h = nn.Dense(mlp_dim, dtype=self.dtype, name="mlp_0")(h)
         h = nn.LayerNorm(epsilon=1e-5, name="mlp_norm")(h)
-        h = nn.gelu(h, approximate=False)  # torch nn.GELU is exact-erf
+        from graphnet_tpu.ops.gelu import gelu_exact
+
+        h = gelu_exact(h)  # torch nn.GELU is exact-erf (recompute VJP)
         return nn.Dense(self.output_dim, dtype=self.dtype, name="mlp_1")(h)
 
 

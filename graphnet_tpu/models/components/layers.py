@@ -30,11 +30,16 @@ FUSE_CONV_KNN = False
 
 Activation = Callable[[jax.Array], jax.Array]
 
+from graphnet_tpu.ops.gelu import gelu_exact
+
 ACTIVATIONS = {
     "relu": nn.relu,
     # exact (erf) form: torch nn.GELU/F.gelu default is exact, while
-    # flax nn.gelu defaults to the tanh approximation (~1e-3 differences)
-    "gelu": lambda x: nn.gelu(x, approximate=False),
+    # flax nn.gelu defaults to the tanh approximation (~1e-3
+    # differences).  gelu_exact carries a recompute VJP — plain
+    # autodiff's fp32 residuals cost +0.66 ms/block at the DeepIce
+    # shape (ops/gelu.py)
+    "gelu": gelu_exact,
     "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
     "silu": nn.silu,
     "tanh": jnp.tanh,

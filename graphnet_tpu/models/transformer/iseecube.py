@@ -150,8 +150,10 @@ class ISeeCube(GNN):
             x = x + h
             h = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x)
             h = nn.Dense(self.mlp_dim, name=f"fc1_{i}")(h)
+            from graphnet_tpu.ops.gelu import gelu_exact
+
             h = nn.Dense(self.hidden_dim, name=f"fc2_{i}")(
-                nn.gelu(h, approximate=False)  # torchscale uses F.gelu
+                gelu_exact(h)  # torchscale uses F.gelu (exact erf)
             )
             x = x + h
 

@@ -211,3 +211,53 @@ class TestHomophily:
         monkeypatch.setattr(gr, "_HOMOPHILY_MATMUL_MAX_L", 0)
         h_gather = np.asarray(gr.homophily(idx, edge_mask, values))
         np.testing.assert_allclose(h_matmul, h_gather, rtol=0, atol=0)
+
+
+class TestGeluExact:
+    """ops/gelu.py: exact-erf GELU with recompute VJP == plain autodiff
+    of the closed form (the reference's torch nn.GELU default)."""
+
+    @staticmethod
+    def _jax():
+        import jax
+
+        return jax
+
+    def test_matches_plain_gelu(self):
+        from graphnet_tpu.ops.gelu import gelu_exact
+
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(4096) * 3,
+            jnp.float32,
+        )
+        jax = self._jax()
+        want = jax.nn.gelu(x, approximate=False)
+        np.testing.assert_allclose(
+            gelu_exact(x), want, rtol=1e-5, atol=5e-6
+        )
+
+    def test_grads_match_autodiff(self):
+        from graphnet_tpu.ops.gelu import gelu_exact
+
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal(4096) * 3,
+            jnp.float32,
+        )
+        jax = self._jax()
+        g1 = jax.grad(lambda t: (gelu_exact(t) ** 2).sum())(x)
+        g2 = jax.grad(
+            lambda t: (jax.nn.gelu(t, approximate=False) ** 2).sum()
+        )(x)
+        np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
+
+    def test_bf16_upcast_internal(self):
+        from graphnet_tpu.ops.gelu import gelu_exact
+
+        x = jnp.asarray([0.5, -1.25, 3.0], jnp.bfloat16)
+        out = gelu_exact(x)
+        assert out.dtype == jnp.bfloat16
+        jax = self._jax()
+        want = jax.nn.gelu(x.astype(jnp.float32), approximate=False)
+        np.testing.assert_allclose(
+            out.astype(jnp.float32), want, rtol=1e-2, atol=1e-2
+        )

@@ -51,6 +51,19 @@ elif variant == "no_bias":
     kw["n_rel"] = 0
 elif variant == "no_rel":
     kw["depth_rel"] = 0
+elif variant == "B32":
+    B_d = 32
+    rng = np.random.default_rng(0)
+    events = [np.concatenate([
+        rng.standard_normal((L_d, 3)).astype(np.float32),
+        rng.random((L_d, 1)).astype(np.float32),
+        rng.random((L_d, 1)).astype(np.float32),
+        (rng.random((L_d, 1)) > 0.5).astype(np.float32)], axis=1)
+        for _ in range(B_d)]
+    direction = rng.standard_normal((B_d, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=1, keepdims=True)
+    batch = jax.device_put(
+        make_batch(events, labels={"direction": direction}, length=L_d))
 
 model = StandardModel(
     backbone=DeepIce(**kw),

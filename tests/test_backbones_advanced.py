@@ -109,6 +109,39 @@ class TestDeepIce:
         o2 = np.asarray(model.apply(params, make_batch(evs, length=48)))
         np.testing.assert_allclose(o1, o2, rtol=5e-4, atol=5e-5)
 
+    def test_remat_exact_fwd_and_grad(self):
+        """remat=True (per-block jax.checkpoint) is a pure memory/compute
+        trade: identical params tree, bit-identical forward and grads."""
+        evs = kaggle_events()
+        batch = make_batch(evs, length=32)
+        kwargs = dict(
+            hidden_dim=64,
+            seq_length=16,
+            depth=2,
+            depth_rel=2,
+            head_size=16,
+        )
+        m0 = DeepIce(**kwargs)
+        m1 = DeepIce(**kwargs, remat=True)
+        params = m0.init(jax.random.PRNGKey(0), batch)
+        p1 = m1.init(jax.random.PRNGKey(0), batch)
+        assert jax.tree_util.tree_structure(
+            params
+        ) == jax.tree_util.tree_structure(p1)
+        o0 = np.asarray(m0.apply(params, batch))
+        o1 = np.asarray(m1.apply(params, batch))
+        np.testing.assert_array_equal(o0, o1)
+
+        def loss(m):
+            return lambda p: jnp.sum(m.apply(p, batch) ** 2)
+
+        g0 = jax.grad(loss(m0))(params)
+        g1 = jax.grad(loss(m1))(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def dom_series_events(B=2, seed=3):
     """Events in NodeAsDOMTimeSeries output format:

@@ -51,7 +51,11 @@ elif variant == "no_bias":
     kw["n_rel"] = 0
 elif variant == "no_rel":
     kw["depth_rel"] = 0
-elif variant == "B32":
+elif variant == "remat":
+    kw["remat"] = True
+elif variant in ("remat_B32", "B32"):
+    if variant == "remat_B32":
+        kw["remat"] = True
     B_d = 32
     rng = np.random.default_rng(0)
     events = [np.concatenate([

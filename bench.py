@@ -464,6 +464,53 @@ def bench_deepice(
     return res
 
 
+def _spin_ms(n_reps: int = 5, n_iters: int = 400_000) -> float:
+    """Min wall time (ms) of a fixed pure-Python spin — a calibrated
+    probe of host CPU contention.  On an idle core this hits a stable
+    floor; when every core is busy with someone else's work the
+    scheduler delays it and the min inflates."""
+    best = float("inf")
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(n_iters):
+            x += i
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def _host_probe() -> dict:
+    """Sample host contention: 1-min loadavg + the calibrated spin."""
+    try:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+    except OSError:
+        load1 = float("nan")
+    return {"loadavg1": load1, "spin_ms": round(_spin_ms(), 2)}
+
+
+def _host_guard(pre: dict, post: dict, spin_floor_ms) -> dict:
+    """VERDICT r3 item 1: host-bound bench sections must not silently
+    record a loaded-host number (the r3 driver capture did — a
+    concurrent pytest halved ``materialized_replay``).  Mirrors the
+    ``timing_suspect`` guard for device timing: compare the pre/post
+    spin probes against the best-ever floor (persisted in
+    ``.bench_baseline.json``) and the pre loadavg against what a
+    between-sections idle host shows.  The caller retries the section
+    once in a fresh subprocess when the flag is set."""
+    out = {"pre": pre, "post": post}
+    suspect = pre["loadavg1"] > 1.8  # decaying self-load stays under ~1
+    if spin_floor_ms:
+        out["spin_floor_ms"] = round(float(spin_floor_ms), 2)
+        inflation = max(pre["spin_ms"], post["spin_ms"]) / float(
+            spin_floor_ms
+        )
+        out["spin_inflation"] = round(inflation, 2)
+        suspect = suspect or inflation > 1.35
+    out["host_load_suspect"] = bool(suspect)
+    return out
+
+
 # bump when _e2e_loader's pipeline config changes: the materialized-pack
 # cache directory is keyed on it, so stale packs are never replayed
 _E2E_PACK_SCHEMA = "v1"
@@ -523,30 +570,36 @@ def _materialize_e2e_pack(n_events_db: int, mat_dir: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def bench_e2e_loader(
+def bench_e2e_phase(
+    phase: str = "k1",
     n_epochs: int = 4,
     n_events_db: int = 2000,
     steps_per_dispatch: int = 4,
+    spin_floor_ms=None,
 ) -> dict:
-    """End-to-end training throughput: Prometheus SQLite DB →
-    SQLiteDataset → DataLoader → PrefetchingLoader → jitted train step.
+    """ONE end-to-end phase (Prometheus SQLite DB → SQLiteDataset →
+    DataLoader → PrefetchingLoader → jitted train step), run in its own
+    subprocess by :func:`bench_e2e_loader`.
 
-    Measures what a user sees (host queries + graph build + padding +
-    device step, host work overlapped by the prefetch thread).  A single
-    padded shape is forced (bucket 128) so the bench compiles once.
+    Phases: ``k1`` (one dispatch per step), ``kn``
+    (``steps_per_dispatch`` steps per dispatch via ``lax.scan`` — the
+    ``Trainer(steps_per_dispatch=k)`` path), ``cached`` (CachingLoader:
+    host pipeline runs once, HBM-resident replay), ``mat``
+    (disk-materialised batches, memmap + device_put per step).
 
-    Two phases, each ``n_epochs`` (first epoch = compile/warmup,
-    excluded): one dispatch per step, then ``steps_per_dispatch`` steps
-    per dispatch via ``lax.scan`` (the ``Trainer(steps_per_dispatch=k)``
-    path) — on a dispatch-latency-bound runtime the second phase is the
-    production configuration.
+    Per-process isolation matters beyond load hygiene: a single D2H
+    scalar readback permanently degrades later device_puts on the
+    tunneled runtime (CLAUDE.md), so each phase gets a fresh process,
+    ends its timed region at ``float(loss)``, and exits.  Epoch 0 is
+    compile/warmup, excluded from timing.
 
-    The bundled example DB has only 50 events (two batches per epoch at
-    production batch size), so the bench bootstrap-resamples it into a
-    ``n_events_db``-event synthetic DB with identical schema and pulse
-    statistics (``graphnet_tpu.datasets.synthetic``) and trains on that
-    at the canonical B=128.
+    The bundled example DB has only 50 events, so the bench bootstrap-
+    resamples it into a ``n_events_db``-event synthetic DB with
+    identical schema and pulse statistics
+    (``graphnet_tpu.datasets.synthetic``) at the canonical B=128.
     """
+    pre = _host_probe()
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -562,6 +615,49 @@ def bench_e2e_loader(
         return {"skipped": "no example data"}
 
     loader = _e2e_loader(n_events_db)
+    k = steps_per_dispatch if phase == "kn" else 1
+    if phase == "cached":
+        from graphnet_tpu.data.prefetch import CachingLoader
+
+        source = CachingLoader(loader, seed=0)
+    elif phase == "mat":
+        # Pack the padded batches once in a CPU SUBPROCESS
+        # (materialize() pulls batches to host — a D2H readback that
+        # would degrade THIS process' device_puts); cached across runs.
+        import subprocess
+        import sys
+        import tempfile
+
+        mat_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"graphnet_mat_e2e_{_E2E_PACK_SCHEMA}_{n_events_db}",
+        )
+        if not os.path.exists(os.path.join(mat_dir, "meta.json")):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PALLAS_AXON_POOL_IPS"] = ""
+            repo = os.path.dirname(os.path.abspath(__file__))
+            env["PYTHONPATH"] = (
+                repo + os.pathsep + env.get("PYTHONPATH", "")
+            )
+            subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import bench; bench._materialize_e2e_pack"
+                    f"({n_events_db!r}, {mat_dir!r})",
+                ],
+                check=True,
+                env=env,
+                cwd=repo,
+                timeout=1200,
+            )
+        from graphnet_tpu.data.materialized import MaterializedLoader
+
+        source = MaterializedLoader(mat_dir, seed=0)
+    else:
+        source = loader
+
     model = StandardModel(
         backbone=DynEdge(nb_inputs=D, compute_dtype="bfloat16"),
         tasks=(
@@ -602,131 +698,122 @@ def bench_e2e_loader(
         )
         return params, opt_state, losses[-1]
 
-    params = opt_state = None
-    loss = None
+    params = opt_state = loss = None
+    n_events = 0
+    t0 = None
+    for epoch in range(n_epochs):
+        buf = {}  # padded-shape key -> buffered batches (Trainer's scheme)
+        for batch in PrefetchingLoader(source, prefetch=2 * k):
+            if params is None:
+                params = model.init(jax.random.PRNGKey(0), batch)
+                opt_state = optimizer.init(params)
+            if k > 1:
+                leaves = jax.tree_util.tree_leaves(batch)
+                key = tuple(getattr(x, "shape", ()) for x in leaves)
+                group = buf.setdefault(key, [])
+                group.append(batch)
+                if len(group) < k:
+                    continue
+                del buf[key]
+                params, opt_state, loss = scan_step(
+                    params, opt_state, tuple(group)
+                )
+                if t0 is not None:
+                    n_events += sum(b.batch_size for b in group)
+            else:
+                params, opt_state, loss = step(params, opt_state, batch)
+                if t0 is not None:
+                    n_events += batch.batch_size
+        for group in buf.values():  # leftovers (< k): single steps
+            for batch in group:
+                params, opt_state, loss = step(params, opt_state, batch)
+                if t0 is not None:
+                    n_events += batch.batch_size
+        if epoch == 0:
+            # start boundary: block_until_ready (an early return here
+            # only leaks warmup work INTO the timed region — slower,
+            # never faster); end boundary: scalar readback, the only
+            # sync the tunneled runtime always honors
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+    final_loss = float(loss)
+    dt = time.perf_counter() - t0
+    post = _host_probe()
+    res = {
+        "phase": phase,
+        "events_per_s": round(n_events / dt, 1),
+        "epochs_timed": n_epochs - 1,
+        "final_loss": final_loss,
+        "host": _host_guard(pre, post, spin_floor_ms),
+    }
+    res["host_load_suspect"] = res["host"]["host_load_suspect"]
+    return res
 
-    def run_phase(k: int, params, opt_state, source=None):
-        """n_epochs over the DB with k steps/dispatch; epoch 0 excluded
-        (compile + warmup).  Returns (events_per_s, params, opt_state)."""
-        nonlocal loss
-        src = source if source is not None else loader
-        n_events = 0
-        t0 = None
-        for epoch in range(n_epochs):
-            buf = {}  # padded-shape key -> buffered batches (Trainer's scheme)
-            for batch in PrefetchingLoader(src, prefetch=2 * k):
-                if params is None:
-                    params = model.init(jax.random.PRNGKey(0), batch)
-                    opt_state = optimizer.init(params)
-                if k > 1:
-                    leaves = jax.tree_util.tree_leaves(batch)
-                    key = tuple(getattr(x, "shape", ()) for x in leaves)
-                    group = buf.setdefault(key, [])
-                    group.append(batch)
-                    if len(group) < k:
-                        continue
-                    del buf[key]
-                    params, opt_state, loss = scan_step(
-                        params, opt_state, tuple(group)
-                    )
-                    if t0 is not None:
-                        n_events += sum(b.batch_size for b in group)
-                else:
-                    params, opt_state, loss = step(params, opt_state, batch)
-                    if t0 is not None:
-                        n_events += batch.batch_size
-            for group in buf.values():  # leftovers (< k): single steps
-                for batch in group:
-                    params, opt_state, loss = step(params, opt_state, batch)
-                    if t0 is not None:
-                        n_events += batch.batch_size
-            if epoch == 0:
-                jax.block_until_ready(loss)
-                t0 = time.perf_counter()
-        jax.block_until_ready(loss)
-        dt = time.perf_counter() - t0
-        return n_events / dt, params, opt_state
 
-    eps_k1, params, opt_state = run_phase(1, params, opt_state)
-    eps_kn, params, opt_state = (
-        run_phase(steps_per_dispatch, params, opt_state)
-        if steps_per_dispatch > 1
-        else (eps_k1, params, opt_state)
-    )
-    # Cached-replay mode: CachingLoader materialises the padded device
-    # batches in its first epoch (excluded as warmup) and replays them
-    # shuffled afterwards — the production configuration for datasets
-    # that fit in HBM (the whole host pipeline runs once).
-    from graphnet_tpu.data.prefetch import CachingLoader
-
-    eps_cached, params, opt_state = run_phase(
-        1, params, opt_state, source=CachingLoader(loader, seed=0)
-    )
-    # Disk-materialised replay: pack the padded batches once in a CPU
-    # SUBPROCESS (materialize() pulls batches to host — a D2H readback,
-    # which on tunneled runtimes would permanently degrade THIS process'
-    # device_put throughput; see CLAUDE.md), then measure memmap-replay
-    # training.  The pack is cached across bench runs.
-    eps_mat = None
-    try:
-        import subprocess
-        import sys
-        import tempfile
-
-        mat_dir = os.path.join(
-            tempfile.gettempdir(),
-            f"graphnet_mat_e2e_{_E2E_PACK_SCHEMA}_{n_events_db}",
+def bench_e2e_loader(
+    n_epochs: int = 4,
+    n_events_db: int = 2000,
+    steps_per_dispatch: int = 4,
+    spin_floor_ms=None,
+) -> dict:
+    """End-to-end training throughput: each phase measured in a FRESH
+    subprocess (see :func:`bench_e2e_phase`) with a host-contention
+    guard — a suspect phase is retried once (mirrors the
+    ``timing_suspect`` protocol for device timing)."""
+    phases = {}
+    suspect_any = False
+    for phase in ("k1", "kn", "cached", "mat"):
+        kwargs = dict(
+            phase=phase,
+            n_epochs=n_epochs,
+            n_events_db=n_events_db,
+            steps_per_dispatch=steps_per_dispatch,
+            spin_floor_ms=spin_floor_ms,
         )
-        if not os.path.exists(os.path.join(mat_dir, "meta.json")):
-            env = dict(os.environ)
-            env["JAX_PLATFORMS"] = "cpu"
-            env["PALLAS_AXON_POOL_IPS"] = ""
-            repo = os.path.dirname(os.path.abspath(__file__))
-            env["PYTHONPATH"] = (
-                repo + os.pathsep + env.get("PYTHONPATH", "")
-            )
-            subprocess.run(
-                [
-                    sys.executable,
-                    "-c",
-                    "import bench; bench._materialize_e2e_pack"
-                    f"({n_events_db!r}, {mat_dir!r})",
-                ],
-                check=True,
-                env=env,
-                cwd=repo,
-                timeout=1200,
-            )
-        from graphnet_tpu.data.materialized import MaterializedLoader
+        try:
+            r = _bench_in_subprocess("e2e_phase", kwargs)
+            if r.get("host_load_suspect"):
+                time.sleep(10.0)
+                retry = _bench_in_subprocess("e2e_phase", kwargs)
+                retry["retried_after_host_load"] = True
+                r = retry
+        except Exception as e:
+            r = {"error": f"{type(e).__name__}: {e}"}
+        phases[phase] = r
+        suspect_any = suspect_any or bool(r.get("host_load_suspect"))
 
-        eps_mat, params, opt_state = run_phase(
-            1,
-            params,
-            opt_state,
-            source=MaterializedLoader(mat_dir, seed=0),
-        )
-    except Exception as e:  # keep the bench robust to pack failures
-        eps_mat = f"failed: {e}"
-    # Headline = the faster mode.  When the host pipeline (not dispatch
-    # latency) is the bottleneck, k>1 only adds buffering stalls and the
-    # single-dispatch number wins — report both so the comparison is
-    # honest (measured on TPU 2026-08-17: k=1 11082 vs k=4 9754 ev/s,
-    # i.e. e2e is loader-bound; steps_per_dispatch pays off only when
-    # the loader outruns per-dispatch latency).
-    best_k = 1 if eps_k1 >= eps_kn else steps_per_dispatch
-    return {
-        "events_per_s": round(max(eps_k1, eps_kn), 1),
+    def eps(name):
+        v = phases[name].get("events_per_s")
+        return v if isinstance(v, (int, float)) else None
+
+    eps_k1, eps_kn = eps("k1"), eps("kn")
+    eps_cached, eps_mat = eps("cached"), eps("mat")
+    if eps_k1 is None:
+        return {"error": "k1 phase failed", "phases": phases}
+    # Headline = the faster dispatch mode.  When the host pipeline (not
+    # dispatch latency) is the bottleneck, k>1 only adds buffering
+    # stalls and the single-dispatch number wins — report both.
+    best_k = (
+        1
+        if (eps_kn is None or eps_k1 >= eps_kn)
+        else steps_per_dispatch
+    )
+    out = {
+        "events_per_s": round(max(eps_k1, eps_kn or 0.0), 1),
         "best_steps_per_dispatch": best_k,
-        "single_dispatch_events_per_s": round(eps_k1, 1),
-        "multi_dispatch_events_per_s": round(eps_kn, 1),
-        "cached_replay_events_per_s": round(eps_cached, 1),
+        "single_dispatch_events_per_s": eps_k1,
+        "multi_dispatch_events_per_s": eps_kn,
+        "cached_replay_events_per_s": eps_cached,
         "materialized_replay_events_per_s": (
-            round(eps_mat, 1)
-            if isinstance(eps_mat, float)
-            else eps_mat
+            eps_mat
+            if eps_mat is not None
+            else phases["mat"].get("error", "failed")
         ),
         "steps_per_dispatch": steps_per_dispatch,
         "epochs_timed": n_epochs - 1,
+        "host_probes": {
+            name: r.get("host") for name, r in phases.items()
+        },
         "note": f"{n_events_db}-event synthetic DB (bootstrap of the "
         "bundled 50-event DB); headline rebuilds graphs on the host "
         "every epoch (no caching) with the faster of one-dispatch-"
@@ -734,14 +821,29 @@ def bench_e2e_loader(
         "cached_replay = CachingLoader (host pipeline runs once, "
         "HBM-resident replay) — the production mode for datasets that "
         "fit in device memory; materialized_replay = disk-packed "
-        "batches (data/materialized.py), memmap + device_put per step",
+        "batches (data/materialized.py), memmap + device_put per step; "
+        "each phase in a fresh process with a host-contention guard",
     }
+    if suspect_any:
+        out["host_load_suspect"] = True
+    for name, r in phases.items():
+        if r.get("retried_after_host_load"):
+            out.setdefault("retried_phases", []).append(name)
+    return out
 
 
-def bench_inference(compute_dtype="bfloat16") -> dict:
+def bench_inference(compute_dtype="bfloat16", spin_floor_ms=None) -> dict:
     """Serving throughput: forward-only DynEdge at the canonical shape
     (the DeploymentModule path minus host IO — what an I3-chain or
-    batch-prediction service sustains per chip)."""
+    batch-prediction service sustains per chip).
+
+    Runs in its own subprocess: the timed regions end at a scalar
+    readback of the prediction (the only sync the tunneled runtime
+    always honors — and for serving, the result reaching the host IS
+    the end of the request), which degrades later device_puts in the
+    process (CLAUDE.md), so nothing else may be measured after it."""
+    pre = _host_probe()
+
     import jax
     import jax.numpy as jnp
 
@@ -761,40 +863,191 @@ def bench_inference(compute_dtype="bfloat16") -> dict:
         ),
     )
     batch = jax.device_put(_synthetic_batch())
+    one = jax.device_put(_synthetic_batch(batch_size=1))
     params = model.init(jax.random.PRNGKey(0), batch)
 
     @jax.jit
     def forward(params, batch):
         return [pred for pred, _ in model.apply(params, batch)]
 
+    # batch throughput first (its per-iter sync is block_until_ready —
+    # cheap), terminated by ONE scalar readback; the B=1 latency loop
+    # (which reads back every iteration) runs after, so the readback
+    # degradation cannot touch the throughput phase
     out = forward(params, batch)
-    jax.block_until_ready(out)
+    out1 = forward(params, one)  # compile B=1 too, before timing
+    jax.block_until_ready((out, out1))
     t0 = time.perf_counter()
     n = 50
     for _ in range(n):
         out = forward(params, batch)
-    jax.block_until_ready(out)
+    _ = float(np.asarray(out[0])[0, 0])  # hard sync: scalar readback
     dt = (time.perf_counter() - t0) / n
 
-    # single-event serving latency (B=1, same compiled shape class)
-    one = jax.device_put(_synthetic_batch(batch_size=1))
-    out1 = forward(params, one)
-    jax.block_until_ready(out1)
+    # single-event serving latency (B=1, same compiled shape class);
+    # each request ends when its prediction reaches the host
+    _ = float(np.asarray(forward(params, one)[0])[0, 0])  # re-warm
     lats = []
-    for _ in range(100):
+    for _ in range(200):
         t1 = time.perf_counter()
-        jax.block_until_ready(forward(params, one))
+        _ = float(np.asarray(forward(params, one)[0])[0, 0])
         lats.append((time.perf_counter() - t1) * 1e3)
     lats.sort()
-    return {
+    post = _host_probe()
+    res = {
         "events_per_s": round(B / dt, 1),
         "latency_ms_per_batch": round(dt * 1e3, 2),
-        "single_event_latency_ms_p50": round(lats[50], 2),
-        "single_event_latency_ms_p99": round(lats[99], 2),
+        "single_event_latency_ms_p50": round(lats[100], 2),
+        "single_event_latency_ms_p90": round(lats[180], 2),
+        "single_event_latency_ms_p99": round(lats[198], 2),
         "batch": B,
         "max_len": L,
-        "note": "forward-only incl. dispatch (serving path)",
+        "host": _host_guard(pre, post, spin_floor_ms),
+        "note": "forward-only incl. dispatch + result readback "
+        "(serving path); latency = request submit -> prediction on "
+        "host",
     }
+    res["host_load_suspect"] = res["host"]["host_load_suspect"]
+    return res
+
+
+def bench_serving_queue(
+    workers=(4, 8, 16),
+    n_requests: int = 240,
+    max_batch: int = 8,
+    max_wait_ms: float = 2.0,
+    spin_floor_ms=None,
+) -> dict:
+    """Per-frame serving through the micro-batching ServingQueue —
+    the measured counterpart of the design claim in
+    ``deployment/serving_queue.py`` (per-frame latency approaches
+    ``dispatch/W + compute`` with W concurrent submitters; reference
+    use case ``deployment/icecube/inference_module.py:81-129`` runs one
+    frame per call).
+
+    Drives the FULL DeploymentModule path (config + params from disk,
+    collate, bucket-padding, jit forward, readback) with W closed-loop
+    submitter threads per setting, all in one process so the per-bucket
+    executables compile once.  Reports bare single-frame dispatch
+    latency next to the coalesced per-frame latencies."""
+    pre = _host_probe()
+
+    import pickle
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    from graphnet_tpu.data.constants import FEATURES
+    from graphnet_tpu.deployment.deployment_module import DeploymentModule
+    from graphnet_tpu.deployment.serving_queue import ServingQueue
+    from graphnet_tpu.models.gnn.dynedge import DynEdge
+    from graphnet_tpu.models.graphs.graph_definition import Event
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+    from graphnet_tpu.utils.config import (
+        TRANSFORM_REGISTRY,
+        save_model_config,
+    )
+
+    model = StandardModel(
+        backbone=DynEdge(nb_inputs=D, compute_dtype="bfloat16"),
+        tasks=(
+            EnergyReconstruction(
+                loss_function=LogCoshLoss(),
+                target_labels=("total_energy",),
+                transform_prediction_and_target=TRANSFORM_REGISTRY[
+                    "log10"
+                ],
+            ),
+        ),
+    )
+    rng = np.random.default_rng(0)
+
+    def make_event(n: int = 100) -> Event:
+        x = np.concatenate(
+            [
+                rng.standard_normal((n, 3)).astype(np.float32) * 2.0,
+                rng.random((n, 1)).astype(np.float32),
+            ],
+            axis=1,
+        )
+        return Event(x=x, features=list(FEATURES.PROMETHEUS))
+
+    # one fixed pulse count -> one padded-length bucket; batch buckets
+    # are powers of two up to max_batch (DeploymentModule pads), so the
+    # whole section compiles log2(max_batch)+1 executables
+    warm_batch = __import__(
+        "graphnet_tpu.data.dataloader", fromlist=["collate_events"]
+    ).collate_events([make_event() for _ in range(max_batch)])
+    params = model.init(jax.random.PRNGKey(0), warm_batch)
+    tmp = tempfile.mkdtemp(prefix="serving_bench_")
+    config_path = os.path.join(tmp, "model.yml")
+    params_path = os.path.join(tmp, "params.pkl")
+    save_model_config(model, config_path)
+    with open(params_path, "wb") as f:
+        pickle.dump(params, f)
+    module = DeploymentModule(config_path, params_path)
+
+    b = 1
+    while b <= max_batch:  # warm every batch bucket
+        module([make_event() for _ in range(b)])
+        b *= 2
+
+    # bare per-frame dispatch (the reference's one-frame-per-call mode)
+    ev = make_event()
+    for _ in range(3):
+        module([ev])
+    bare = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        module([ev])
+        bare.append((time.perf_counter() - t0) * 1e3)
+    bare.sort()
+    out_w = {}
+    for W in workers:
+        events = [make_event() for _ in range(n_requests)]
+        lats = []
+        lock = __import__("threading").Lock()
+
+        def submitter(chunk, sq):
+            for e in chunk:
+                t0 = time.perf_counter()
+                sq.predict(e, timeout=60)
+                dt = (time.perf_counter() - t0) * 1e3
+                with lock:
+                    lats.append(dt)
+
+        with ServingQueue(
+            module, max_batch=max_batch, max_wait_ms=max_wait_ms
+        ) as sq:
+            chunks = [events[i::W] for i in range(W)]
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(W) as pool:
+                list(pool.map(lambda c: submitter(c, sq), chunks))
+            wall = time.perf_counter() - t0
+        lats.sort()
+        nl = len(lats)
+        out_w[f"w{W}"] = {
+            "per_frame_latency_ms_p50": round(lats[nl // 2], 2),
+            "per_frame_latency_ms_p99": round(lats[int(nl * 0.99)], 2),
+            "frames_per_s": round(nl / wall, 1),
+        }
+    post = _host_probe()
+    res = {
+        "bare_dispatch_ms_p50": round(bare[25], 2),
+        "bare_dispatch_ms_p99": round(bare[49], 2),
+        "max_batch": max_batch,
+        "max_wait_ms": max_wait_ms,
+        "n_requests_per_setting": n_requests,
+        **out_w,
+        "host": _host_guard(pre, post, spin_floor_ms),
+        "note": "full DeploymentModule path (collate + bucket-pad + "
+        "jit + readback) per coalesced call; closed-loop submitters",
+    }
+    res["host_load_suspect"] = res["host"]["host_load_suspect"]
+    return res
 
 
 def measure_reference_cpu() -> dict:
@@ -1009,6 +1262,9 @@ def bench_torch_cpu_baseline(n_steps: int = 3) -> float:
 _SUB_BENCHES = {
     "tito": bench_tito_l1024,
     "deepice": bench_deepice,
+    "e2e_phase": bench_e2e_phase,
+    "inference": bench_inference,
+    "serving": bench_serving_queue,
 }
 
 
@@ -1095,6 +1351,27 @@ def _guard_backend(probe_timeout_s: int = 180) -> str:
         )
 
 
+def _update_spin_floor(cached: dict, *results) -> None:
+    """Fold every host probe observed this run into the persisted
+    best-ever spin floor (self-calibrating across runs)."""
+    floor = cached.get("spin_floor_ms")
+    for res in results:
+        if not isinstance(res, dict):
+            continue
+        probes = [res.get("host")] + list(
+            (res.get("host_probes") or {}).values()
+        )
+        for hp in probes:
+            if not isinstance(hp, dict):
+                continue
+            for side in ("pre", "post"):
+                s = (hp.get(side) or {}).get("spin_ms")
+                if s and (floor is None or s < floor):
+                    floor = s
+    if floor is not None:
+        cached["spin_floor_ms"] = floor
+
+
 def main() -> None:
     backend_note = _guard_backend()
     cache = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
@@ -1116,6 +1393,7 @@ def main() -> None:
         json.dump(cached, f)
     baseline = cached["torch_cpu_events_per_s"]
     ref_cpu = cached["reference_cpu"]
+    spin_floor = cached.get("spin_floor_ms")
 
     res = bench_jax(compute_dtype="bfloat16")
     # the fp32 comparison doubles compile time; opt-in via BENCH_FP32=1
@@ -1131,16 +1409,33 @@ def main() -> None:
         except Exception as e:  # a failed side-measurement must not kill
             return {"error": f"{type(e).__name__}: {e}"}  # the headline
 
-    # tito/deepice run in SUBPROCESSES: their timed region ends at a
-    # scalar readback, which would degrade this process's device_puts
-    # for every later section (see _bench_in_subprocess)
+    def _sub_guarded(name: str, **kwargs):
+        """Subprocess section with the host-contention retry protocol:
+        a suspect measurement is re-run once in a fresh process."""
+        kwargs.setdefault("spin_floor_ms", spin_floor)
+        try:
+            r = _bench_in_subprocess(name, kwargs)
+            if r.get("host_load_suspect"):
+                time.sleep(10.0)
+                retry = _bench_in_subprocess(name, kwargs)
+                retry["retried_after_host_load"] = True
+                r = retry
+            return r
+        except Exception as e:
+            return {"error": f"{type(e).__name__}: {e}"}
+
+    # every measured section after the headline runs in a SUBPROCESS:
+    # scalar readbacks (the only trustworthy sync on the tunneled
+    # runtime) degrade that process's later device_puts, and the
+    # headline's own edge-count readback above would otherwise taint
+    # e2e/inference (this exact coupling polluted the r3 capture)
     tito = (
         _section(_bench_in_subprocess, "tito")
         if os.environ.get("BENCH_TITO", "1") != "0"
         else None
     )
     e2e = (
-        _section(bench_e2e_loader)
+        _section(bench_e2e_loader, spin_floor_ms=spin_floor)
         if os.environ.get("BENCH_E2E", "1") != "0"
         else None
     )
@@ -1149,6 +1444,15 @@ def main() -> None:
         if os.environ.get("BENCH_DEEPICE", "1") != "0"
         else None
     )
+    inference = _sub_guarded("inference")
+    serving = (
+        _sub_guarded("serving")
+        if os.environ.get("BENCH_SERVING", "1") != "0"
+        else None
+    )
+    _update_spin_floor(cached, e2e, inference, serving)
+    with open(cache, "w") as f:
+        json.dump(cached, f)
     print(
         json.dumps(
             {
@@ -1180,7 +1484,8 @@ def main() -> None:
                     "tito_l1024": tito,
                     "deepice_l768": deepice,
                     "e2e_loader": e2e,
-                    "inference": _section(bench_inference),
+                    "inference": inference,
+                    "serving_queue": serving,
                     "a100_pyg_estimate": _section(
                         a100_pyg_estimate, res, ref_cpu
                     ),

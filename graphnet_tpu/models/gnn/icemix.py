@@ -134,9 +134,9 @@ class DeepIce(GNN):
         num_heads = self.hidden_dim // self.head_size
         block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.depth_rel):
-            has_rel = i < self.n_rel and (
-                rel_pos_bias is not None or rel_source is not None
-            )
+            # exactly one of rel_pos_bias / rel_source is always set
+            # (chosen above), so block i is biased iff i < n_rel
+            has_rel = i < self.n_rel
             # bias-free sandwich blocks are safe to remat (array args only)
             rel_cls = (
                 nn.remat(BlockRel)

@@ -10,6 +10,9 @@ Variants isolate where the 145.7 ms step goes:
   no_bias     n_rel=0 — upper bound on what the biased block costs
   no_rel      depth_rel=0 — the 4 sandwich blocks entirely removed
   fwd_only    base, forward pass only (no grad/opt)
+  remat       base + per-block jax.checkpoint (DeepIce(remat=True))
+  B32         base at B=32 (OOMs on v5e without remat)
+  remat_B32   remat at B=32 — the remat-unlocked batch size
 """
 import json
 import subprocess

@@ -5,18 +5,27 @@ Computes ``out[i] = sum_k mask[i,k] * relu(relu(a[i] + b[idx[i,k]]) @ W2 + b2)``
 ``graphnet_tpu.models.components.layers.EdgeConv``) — without ever
 materialising the ``[B, L, k, H1]`` message tensor in HBM:
 
-  * gather AND self-term addition are one selection matmul on the MXU:
-    rows of a ``[TL*K, L+TL]`` 0/1 matrix select the neighbour row of
-    ``b`` (first L columns) and the node's own row of ``a`` (last TL
-    columns), so ``sel @ [b; a] = b[idx] + a`` in a single contraction —
-    no 3D broadcasts (which Mosaic restricts under bf16 tiling);
+  * the gather is a selection matmul on the MXU: rows of a
+    ``[K*TL, L]`` 0/1 matrix select the neighbour row of ``b``.  Edge
+    rows are K-MAJOR (row ``kk*TL + i`` is edge ``kk`` of node ``i``)
+    so the self-term ``a[i]`` is added with a plain leading-dim tile
+    repeat (``concatenate([a]*k, axis=0)``) and the k-reduction is a
+    leading-dim reshape — both Mosaic-legal (a node-major ``i*k+kk``
+    ordering needs a middle-dim broadcast, which Mosaic rejects:
+    "infer-vector-layout: unsupported shape cast");
   * messages live in VMEM only; the second linear layer and the masked
     sum-reduction happen in-register;
   * the backward pass recomputes messages (rematerialisation); the
-    *transposed* selection matmul yields both gradients at once:
-    ``sel^T @ g_z = [d_b (scatter-add); d_a]``.  TPU grids execute
-    sequentially per core, so grid-accumulated outputs (dW2, db2, d_b)
-    are race-free.
+    *transposed* selection matmul is the scatter-add ``d_b = sel^T @
+    g_z`` and ``d_a`` is the per-node sum over its k edge rows (the
+    transpose of the repeat).  TPU grids execute sequentially per core,
+    so grid-accumulated outputs (dW2, db2, d_b) are race-free.
+
+Vs the r1-r3 kernels (which folded the self-term into the selection as
+``[TL*K, L+TL]`` extra columns): the gather contraction dim halves in
+both forward and backward, and the selection-matrix build halves —
+exact same math (the matmul summed the two selected rows; now the sum
+is an explicit VPU add).
 
 Supports the "add" aggregation (DynEdge's configuration,
 reference ``gnn/dynedge.py:209``).
@@ -33,13 +42,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _selection_matrix(idx, tl, k, L, dtype):
-    """[TL*K, L+TL] 0/1: row i*k+kk selects b[idx[i,kk]] and a[i]."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (tl, k, L + tl), 2)
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (tl, k, L + tl), 0)
-    sel = (col == idx[:, :, None]) | (col == L + row_i)
+def _selection_matrix(idx_t, tl, k, L, dtype):
+    """[K*TL, L] 0/1: row kk*TL+i selects b[idx_t[kk, i]] (K-MAJOR edge
+    rows; ``idx_t`` is the [k, TL] transposed index block)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, tl, L), 2)
+    sel = col == idx_t[:, :, None]
     # merging leading dims keeps the lane dimension -> Mosaic-legal
-    return sel.astype(dtype).reshape(tl * k, L + tl)
+    return sel.astype(dtype).reshape(k * tl, L)
+
+
+def _repeat_rows(a, k):
+    """[TL, H] -> [K*TL, H]: k tiled copies of ``a`` (the self-term of
+    every edge row, K-MAJOR ordering).  A leading-dim concat — the
+    Mosaic-legal repeat (an interleaved per-row repeat needs a
+    middle-dim broadcast, which Mosaic rejects)."""
+    return jnp.concatenate([a] * k, axis=0)
 
 
 def _lrelu(x, slope):
@@ -55,8 +72,8 @@ def _fwd_kernel(
 
     a_ref:  [bb, TL, H1] self-term (pre-activation, incl. bias)
     b_ref:  [bb, L, H1]  neighbour-term for the whole event
-    idx_ref:[bb, TL, k]  neighbour indices
-    em_ref: [bb, TL, k]  edge mask (float 0/1)
+    idx_ref:[bb, k, TL]  neighbour indices (k-major / transposed)
+    em_ref: [bb, k, TL]  edge mask (float 0/1, k-major)
     w2_ref: [H1, H2]     second-layer weights
     b2_ref: [1, H2]      second-layer bias
     out_ref:[bb, TL, H2]
@@ -65,14 +82,15 @@ def _fwd_kernel(
     for e in range(bb):
         a = a_ref[e]  # [TL, H1]
         b = b_ref[e]  # [L, H1]
-        idx = idx_ref[e]  # [TL, k]
-        em = em_ref[e]  # [TL, k]
+        idx_t = idx_ref[e]  # [k, TL]
+        em_t = em_ref[e]  # [k, TL]
 
-        sel = _selection_matrix(idx, tl, k, L, b.dtype)
-        ba = jnp.concatenate([b, a], axis=0)  # [L+TL, H1]
+        sel = _selection_matrix(idx_t, tl, k, L, b.dtype)
         z = jnp.dot(
-            sel, ba, preferred_element_type=jnp.float32
-        )  # [TL*K, H1] = b[idx] + a
+            sel, b, preferred_element_type=jnp.float32
+        ) + _repeat_rows(a, k).astype(
+            jnp.float32
+        )  # [K*TL, H1] = b[idx] + a
         msgs = _lrelu(z, slope)
         out = jnp.dot(
             msgs.astype(w2_ref.dtype),
@@ -83,15 +101,15 @@ def _fwd_kernel(
         # (dynedge.py:190-210 / DynTrans layers.py:152-158)
         out = _lrelu(out, slope)
         H2 = out.shape[1]
-        out3 = out.reshape(tl, k, H2)
+        out3 = out.reshape(k, tl, H2)
         if aggr == "add":
-            out_ref[e] = jnp.sum(out3 * em[:, :, None], axis=1)
+            out_ref[e] = jnp.sum(out3 * em_t[:, :, None], axis=0)
         else:  # masked max; nodes with no valid edge -> 0
             neg = jnp.float32(-1e30)
             m = jnp.max(
-                jnp.where(em[:, :, None] > 0.5, out3, neg), axis=1
+                jnp.where(em_t[:, :, None] > 0.5, out3, neg), axis=0
             )
-            has = jnp.max(em, axis=1)[:, None]
+            has = jnp.max(em_t, axis=0)[:, None]
             out_ref[e] = jnp.where(has > 0.5, m, 0.0)
 
 
@@ -129,8 +147,8 @@ def _bwd_kernel(
     for e in range(bb):
         a = a_ref[e]
         b = b_ref[e]
-        idx = idx_ref[e]
-        em = em_ref[e]
+        idx_t = idx_ref[e]  # [k, TL]
+        em_t = em_ref[e]  # [k, TL]
         g = g_ref[e]  # [TL, H2]
         H2 = g.shape[1]
 
@@ -138,9 +156,10 @@ def _bwd_kernel(
         def _():
             db_ref[e] = jnp.zeros_like(db_ref[e])
 
-        sel = _selection_matrix(idx, tl, k, L, b.dtype)
-        ba = jnp.concatenate([b, a], axis=0)
-        z = jnp.dot(sel, ba, preferred_element_type=jnp.float32)
+        sel = _selection_matrix(idx_t, tl, k, L, b.dtype)
+        z = jnp.dot(
+            sel, b, preferred_element_type=jnp.float32
+        ) + _repeat_rows(a, k).astype(jnp.float32)
         msgs = _lrelu(z, slope)
 
         # recompute second-layer pre-activation (incl. bias) to gate
@@ -151,30 +170,30 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         ) + b2_ref[0][None, :]
         gate2 = jnp.where(pre2 > 0.0, 1.0, jnp.float32(slope))
+        # broadcast g over the leading (k) dim — Mosaic-legal
+        g_rep = jnp.broadcast_to(g[None, :, :], (k, tl, H2))
         if aggr == "add":
-            g_route = (
-                g[:, None, :] * em[:, :, None]
-            ).reshape(tl * k, H2)
+            g_route = (g_rep * em_t[:, :, None]).reshape(k * tl, H2)
         else:
             # max aggregation: route the gradient to the first valid
             # argmax edge per (node, channel) — scatter_max semantics
-            vals = _lrelu(pre2, slope).reshape(tl, k, H2)
+            vals = _lrelu(pre2, slope).reshape(k, tl, H2)
             neg = jnp.float32(-1e30)
-            masked = jnp.where(em[:, :, None] > 0.5, vals, neg)
-            mx = jnp.max(masked, axis=1, keepdims=True)
-            is_max = (masked == mx) & (em[:, :, None] > 0.5)
+            masked = jnp.where(em_t[:, :, None] > 0.5, vals, neg)
+            mx = jnp.max(masked, axis=0, keepdims=True)
+            is_max = (masked == mx) & (em_t[:, :, None] > 0.5)
             # first argmax via min-index (cumsum is not lowerable in
             # Pallas TPU)
             kio = jax.lax.broadcasted_iota(
-                jnp.int32, is_max.shape, 1
+                jnp.int32, is_max.shape, 0
             )
             kidx = jnp.min(
-                jnp.where(is_max, kio, k), axis=1, keepdims=True
+                jnp.where(is_max, kio, k), axis=0, keepdims=True
             )
             first = kio == kidx
             g_route = (
-                g[:, None, :] * first.astype(jnp.float32)
-            ).reshape(tl * k, H2)
+                g_rep * first.astype(jnp.float32)
+            ).reshape(k * tl, H2)
         g_msgs = g_route * gate2
 
         # big backward matmuls at the layer's compute dtype (bf16 in
@@ -196,16 +215,19 @@ def _bwd_kernel(
             w2_ref[...].T.astype(cdt),
             preferred_element_type=jnp.float32,
         ) * jnp.where(z > 0.0, 1.0, jnp.float32(slope))
-        # transposed selection matmul: rows 0..L-1 scatter-add into
-        # d_b, rows L..L+TL-1 are d_a for this tile
-        contrib = jax.lax.dot_general(
+        # transposed selection matmul scatter-adds into d_b; d_a is the
+        # per-node sum over its k outgoing edges (the transpose of the
+        # broadcast-repeat) — a cheap sublane reduce instead of the
+        # r1-r3 kernels' TL extra matmul columns
+        db_ref[e] += jax.lax.dot_general(
             sel,
             g_z.astype(cdt),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [L+TL, H1]
-        db_ref[e] += contrib[:L]
-        da_ref[e] = contrib[L:]
+        )  # [L, H1]
+        da_ref[e] = jnp.sum(
+            g_z.reshape(k, tl, g_z.shape[1]), axis=0
+        )
 
 
 def _events_per_program(B: int, L: int, H1: int) -> int:
@@ -232,7 +254,11 @@ def _edgeconv_fwd_impl(
     tl = min(tile, L)
     assert L % tl == 0
     bb = _events_per_program(B, L, H1) if tl == L else 1
-    em = edge_mask.astype(jnp.float32)
+    # k-major [B, k, L] index/mask layout (the kernel's edge-row order);
+    # a trivial XLA transpose of ~0.5 MB int32 — and a no-op once the
+    # kNN kernel's native [B, k, L] output is plumbed straight through
+    idx_t = jnp.swapaxes(idx, 1, 2)
+    em_t = jnp.swapaxes(edge_mask, 1, 2).astype(jnp.float32)
     return pl.pallas_call(
         functools.partial(
             _fwd_kernel, tl=tl, k=k, aggr=aggr, slope=slope, bb=bb
@@ -248,11 +274,11 @@ def _edgeconv_fwd_impl(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (bb, tl, k), lambda bi, t: (bi, t, 0),
+                (bb, k, tl), lambda bi, t: (bi, 0, t),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (bb, tl, k), lambda bi, t: (bi, t, 0),
+                (bb, k, tl), lambda bi, t: (bi, 0, t),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -269,7 +295,7 @@ def _edgeconv_fwd_impl(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, L, H2), jnp.float32),
-    )(a, b, idx, em, w2, b2.reshape(1, -1))
+    )(a, b, idx_t, em_t, w2, b2.reshape(1, -1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
@@ -302,7 +328,8 @@ def _fused_bwd(tile, aggr, slope, res, g):
     k = idx.shape[2]
     tl = min(tile, L)
     bb = _events_per_program(B, L, H1) if tl == L else 1
-    em = edge_mask.astype(jnp.float32)
+    idx_t = jnp.swapaxes(idx, 1, 2)
+    em_t = jnp.swapaxes(edge_mask, 1, 2).astype(jnp.float32)
     da, db, dw2, db2 = pl.pallas_call(
         functools.partial(
             _bwd_kernel, tl=tl, k=k, aggr=aggr, slope=slope, bb=bb
@@ -318,11 +345,11 @@ def _fused_bwd(tile, aggr, slope, res, g):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (bb, tl, k), lambda bi, t: (bi, t, 0),
+                (bb, k, tl), lambda bi, t: (bi, 0, t),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (bb, tl, k), lambda bi, t: (bi, t, 0),
+                (bb, k, tl), lambda bi, t: (bi, 0, t),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -362,7 +389,7 @@ def _fused_bwd(tile, aggr, slope, res, g):
             jax.ShapeDtypeStruct((H1, H2), jnp.float32),
             jax.ShapeDtypeStruct((1, H2), jnp.float32),
         ],
-    )(a, b, idx, em, w2, b2.reshape(1, -1), g.astype(jnp.float32))
+    )(a, b, idx_t, em_t, w2, b2.reshape(1, -1), g.astype(jnp.float32))
     return (
         da,
         db,
@@ -429,13 +456,14 @@ def _fwd_knn_kernel(
     for e in range(bb):
         a = a_ref[e]
         b = b_ref[e]
-        idx = idx_ref[e]
-        em = em_ref[e]
+        idx_t = idx_ref[e]  # [k, TL]
+        em_t = em_ref[e]  # [k, TL]
         nm = nm_ref[e, 0]  # [L]
 
-        sel = _selection_matrix(idx, tl, k, L, b.dtype)
-        ba = jnp.concatenate([b, a], axis=0)
-        z = jnp.dot(sel, ba, preferred_element_type=jnp.float32)
+        sel = _selection_matrix(idx_t, tl, k, L, b.dtype)
+        z = jnp.dot(
+            sel, b, preferred_element_type=jnp.float32
+        ) + _repeat_rows(a, k).astype(jnp.float32)
         msgs = _lrelu(z, slope)
         out = jnp.dot(
             msgs.astype(w2_ref.dtype),
@@ -444,15 +472,15 @@ def _fwd_knn_kernel(
         ) + b2_ref[0][None, :]
         out = _lrelu(out, slope)
         H2 = out.shape[1]
-        out3 = out.reshape(tl, k, H2)
+        out3 = out.reshape(k, tl, H2)
         if aggr == "add":
-            red = jnp.sum(out3 * em[:, :, None], axis=1)
+            red = jnp.sum(out3 * em_t[:, :, None], axis=0)
         else:
             neg = jnp.float32(-1e30)
             m = jnp.max(
-                jnp.where(em[:, :, None] > 0.5, out3, neg), axis=1
+                jnp.where(em_t[:, :, None] > 0.5, out3, neg), axis=0
             )
-            has = jnp.max(em, axis=1)[:, None]
+            has = jnp.max(em_t, axis=0)[:, None]
             red = jnp.where(has > 0.5, m, 0.0)
         out_ref[e] = red
 
@@ -498,7 +526,8 @@ def _edgeconv_knn_fwd_impl(
     k = idx.shape[2]
     tl = L  # whole-event tiles only (L <= 128 buckets)
     bb = _events_per_program(B, L, H1)
-    em = edge_mask.astype(jnp.float32)
+    idx_t = jnp.swapaxes(idx, 1, 2)
+    em_t = jnp.swapaxes(edge_mask, 1, 2).astype(jnp.float32)
     fm = nmask.astype(jnp.float32)[:, None, :]
     out, nidx, nem = pl.pallas_call(
         functools.partial(
@@ -523,11 +552,11 @@ def _edgeconv_knn_fwd_impl(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (bb, tl, k), lambda bi: (bi, 0, 0),
+                (bb, k, tl), lambda bi: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (bb, tl, k), lambda bi: (bi, 0, 0),
+                (bb, k, tl), lambda bi: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -560,7 +589,7 @@ def _edgeconv_knn_fwd_impl(
             jax.ShapeDtypeStruct((B, L, knn_k), jnp.int32),
             jax.ShapeDtypeStruct((B, L, knn_k), jnp.float32),
         ],
-    )(a, b, idx, em, fm, w2, b2.reshape(1, -1))
+    )(a, b, idx_t, em_t, fm, w2, b2.reshape(1, -1))
     return out, nidx, nem > 0.5
 
 

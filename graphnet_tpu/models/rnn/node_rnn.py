@@ -79,6 +79,13 @@ class NodeRNN(GNN):
     dropout: float = 0.5
     embedding_dim: int = 0
     deterministic: bool = True
+    # Which stacked-GRU layer's final hidden state becomes the DOM
+    # feature.  The reference indexes ``h_n[0]`` — the FIRST layer — via
+    # ``self._rnn(time_series)[-1][0]`` (``rnn/node_rnn.py:110``), so for
+    # ``num_layers > 1`` the deeper layers' outputs are computed but
+    # unused there.  Default mirrors the reference (checkpoint parity);
+    # set to ``num_layers - 1`` for the conventional last-layer state.
+    final_state_layer: int = 0
 
     @property
     def nb_outputs(self) -> int:
@@ -100,14 +107,22 @@ class NodeRNN(GNN):
 
         h = ts
         reset = new_node.astype(x.dtype)
+        state_src = None
         for layer in range(self.num_layers):
             h = _ResettingGRULayer(
                 self.hidden_size, name=f"gru_{layer}"
             )(h, reset)
+            if layer == self.final_state_layer:
+                state_src = h
             if layer + 1 < self.num_layers and self.dropout > 0:
                 h = nn.Dropout(
                     self.dropout, deterministic=self.deterministic
                 )(h)
+        assert state_src is not None, (
+            f"final_state_layer={self.final_state_layer} out of range "
+            f"for num_layers={self.num_layers}"
+        )
+        h = state_src
 
         # segment bookkeeping (per event): seg id of each pulse, first/last
         # pulse index per segment, segment charge sums
@@ -150,10 +165,15 @@ class NodeRNN(GNN):
         nodes = jnp.concatenate([dom_feats, dom_state], axis=-1)
         nodes = jnp.where(valid_dom[..., None], nodes, 0.0)
 
+        # n_pulses is deliberately NOT updated to the DOM count: the
+        # reference Node_RNN leaves ``data.n_pulses`` at the original
+        # per-event pulse count (`rnn/node_rnn.py:92-136` never touches
+        # it), and the downstream DynEdgeTITO consumes it as the
+        # ``log10(n_pulses)`` global feature (`gnn/dynedge_kaggle_tito.py:
+        # 249-254`)
         return batch.replace(
             x=nodes,
             mask=valid_dom,
-            n_pulses=jnp.sum(valid_dom, axis=1).astype(jnp.int32),
             edges=None,
             edge_mask=None,
         )

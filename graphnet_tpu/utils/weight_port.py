@@ -1101,3 +1101,85 @@ def port_deepice_state_dict(
     _port_tasks(sd, take, root)
     _check_unused(sd, used)
     return params
+
+
+def _port_torch_gru(sd, take, prefix, rnn_node, num_layers) -> None:
+    """Map a torch ``nn.GRU`` (``weight_ih_l{l}`` [3H, in] with gate rows
+    [r; z; n], reference ``rnn/node_rnn.py:66-73``) onto our stacked
+    ``_ResettingGRULayer`` flax cells (``models/rnn/node_rnn.py``).
+
+    Gate algebra is identical between torch GRU and flax GRUCell — torch
+    folds two bias vectors per gate (``b_ih + b_hh``) where flax has one
+    on the input Dense (r, z) and keeps ``b_hn`` on the hidden Dense for
+    the n gate (both apply the reset gate INSIDE the hidden branch:
+    ``n = tanh(W_in x + b_in + r * (W_hn h + b_hn))``).
+    """
+    for layer in range(num_layers):
+        w_ih = take(f"{prefix}.weight_ih_l{layer}")  # [3H, in]
+        w_hh = take(f"{prefix}.weight_hh_l{layer}")  # [3H, H]
+        b_ih = take(f"{prefix}.bias_ih_l{layer}")  # [3H]
+        b_hh = take(f"{prefix}.bias_hh_l{layer}")  # [3H]
+        H = w_hh.shape[1]
+        gru = rnn_node[f"gru_{layer}"]["cell"]["gru"]
+        for gi, gate in enumerate(("r", "z", "n")):
+            wi = w_ih[gi * H : (gi + 1) * H]
+            wh = w_hh[gi * H : (gi + 1) * H]
+            bi = b_ih[gi * H : (gi + 1) * H]
+            bh = b_hh[gi * H : (gi + 1) * H]
+            _fill(gru[f"i{gate}" if gate != "n" else "in"], "kernel", wi.T)
+            _fill(gru[f"h{gate}" if gate != "n" else "hn"], "kernel", wh.T)
+            if gate == "n":
+                _fill(gru["in"], "bias", bi)
+                _fill(gru["hn"], "bias", bh)
+            else:
+                _fill(gru[f"i{gate}"], "bias", bi + bh)
+
+
+def port_rnn_tito_state_dict(
+    state_dict: Dict[str, Any],
+    template: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Map a reference RNN_TITO-StandardModel state_dict onto our flax
+    tree (reference ``gnn/RNN_tito.py:100-125``: ``_rnn`` Node_RNN with a
+    torch ``nn.GRU`` + ``_dynedge_tito`` DynEdgeTITO)."""
+    sd = _normalise_keys(state_dict)
+    params = _copy_tree(template)
+    root = params["params"] if "params" in params else params
+    used: set = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    bb = root["backbone"]
+
+    num_layers = len(
+        {
+            k
+            for k in sd
+            if re.match(r"backbone\._rnn\._rnn\.weight_ih_l\d+$", k)
+        }
+    )
+    assert num_layers, "no `backbone._rnn._rnn.weight_ih_l*` keys found"
+    _port_torch_gru(
+        sd, take, "backbone._rnn._rnn", bb["rnn"], num_layers
+    )
+
+    # delegate the DynEdgeTITO half to its porter on a re-rooted view
+    tito_sd = {
+        "backbone." + k[len("backbone._dynedge_tito.") :]: v
+        for k, v in sd.items()
+        if k.startswith("backbone._dynedge_tito.")
+    }
+    tito_params = port_tito_state_dict(
+        tito_sd,
+        {"params": {"backbone": bb["dynedge_tito"]}},
+    )
+    root["backbone"]["dynedge_tito"] = tito_params["params"]["backbone"]
+    used.update(
+        "backbone._dynedge_tito." + k[len("backbone.") :] for k in tito_sd
+    )
+
+    _port_tasks(sd, take, root)
+    _check_unused(sd, used)
+    return params

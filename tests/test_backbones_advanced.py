@@ -199,7 +199,16 @@ class TestNodeRNN:
         n_doms = [
             len(np.unique(e[:, :3], axis=0)) for e in evs
         ]
-        np.testing.assert_array_equal(np.asarray(out.n_pulses), n_doms)
+        # the DOM count lives in the mask; n_pulses stays at the original
+        # per-event pulse count (reference `rnn/node_rnn.py` never updates
+        # it — DynEdgeTITO consumes it as the log10(n_pulses) global
+        # feature, see test_reference_parity_exec.py::test_rnn_tito_parity)
+        np.testing.assert_array_equal(
+            np.asarray(out.mask).sum(axis=1), n_doms
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.n_pulses), [len(e) for e in evs]
+        )
         # DOM charge = asinh(sum of linear charges per DOM)
         ev = evs[0]
         seg_starts = np.nonzero(ev[:, -1])[0]

@@ -128,6 +128,35 @@ class EventBatch:
 
 _UNPACK_JIT = None
 
+
+@struct.dataclass
+class StackedBatches:
+    """k same-shape :class:`EventBatch`es transferred as ONE stacked tree
+    (every leaf carries a leading ``k`` dimension).
+
+    Produced by ``DataLoader(stack_k=k)``: the k batches are
+    ``np.stack``-ed on the HOST and ``device_put`` once, so the transfer
+    dispatch count drops k× (tunneled-runtime put cost scales with leaf
+    count, not bytes).  The Trainer consumes these directly in its
+    ``steps_per_dispatch`` ``lax.scan`` path — no on-device re-stacking.
+    """
+
+    batches: "EventBatch"  # leaves: [k, B, ...]
+    k: int = struct.field(pytree_node=False)
+
+    @property
+    def batch_size(self) -> int:
+        """Total events across the k stacked batches."""
+        return self.k * int(self.batches.x.shape[1])
+
+    def unstack(self) -> List["EventBatch"]:
+        """Split back into k individual EventBatches (device slices)."""
+        return [
+            jax.tree_util.tree_map(lambda a: a[i], self.batches)
+            for i in range(self.k)
+        ]
+
+
 DEFAULT_BUCKETS: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 

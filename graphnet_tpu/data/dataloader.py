@@ -12,7 +12,16 @@ count under jit).
 from __future__ import annotations
 
 import math
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple, Union
+from typing import (
+    Dict,
+    Iterator,
+    List,
+    NamedTuple,
+    Optional,
+    Sequence,
+    Tuple,
+    Union,
+)
 
 import numpy as np
 
@@ -25,6 +34,7 @@ def collate_events(
     length: Optional[int] = None,
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     min_pulses: int = 2,
+    to_device: bool = True,
 ) -> Optional[EventBatch]:
     """Pad a list of Events into one EventBatch (numpy-backed).
 
@@ -84,6 +94,8 @@ def collate_events(
             arr[i, :n] = v[:n]
         node_labels[k] = arr
 
+    if not to_device:
+        return _pack_host(x, mask, n_pulses, labels, node_labels)
     return _to_device_packed(x, mask, n_pulses, labels, node_labels)
 
 
@@ -95,6 +107,7 @@ def collate_from_arrays(
     length: Optional[int] = None,
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     min_pulses: int = 2,
+    to_device: bool = True,
 ) -> Optional[Tuple["EventBatch", int, int]]:
     """Vectorised collate: node arrays + a ``[B, n_truth]`` truth matrix
     straight to a padded EventBatch — no per-event Python dicts.
@@ -151,36 +164,47 @@ def collate_from_arrays(
     for key, fn in getattr(dataset, "_label_fns", {}).items():
         labels[key] = np.asarray(fn.batched(labels))
 
-    batch = _to_device_packed(x, mask, n_pulses, labels, {})
+    if to_device:
+        batch = _to_device_packed(x, mask, n_pulses, labels, {})
+    else:
+        batch = _pack_host(x, mask, n_pulses, labels, {})
     valid = int(np.minimum(counts, L).sum())
     return batch, valid, B * L
 
 
-def _to_device_packed(
+class HostPackedBatch(NamedTuple):
+    """A collated batch still on the HOST: the packed transfer arrays of
+    :func:`_pack_host` plus the (static) label layout.  Exists so the
+    ``stack_k`` loader path can ``np.stack`` k same-shape batches and pay
+    ONE ``device_put`` per dispatch instead of k — transfer cost on
+    tunneled runtimes scales with leaf count, not bytes (see
+    ``_to_device_packed``)."""
+
+    arrays: List[np.ndarray]
+    fspec: tuple
+    ispec: tuple
+    nspec: tuple
+    has_f: bool
+    has_i: bool
+
+    @property
+    def batch_size(self) -> int:
+        return self.arrays[0].shape[0]
+
+    @property
+    def max_length(self) -> int:
+        return self.arrays[0].shape[1]
+
+
+def _pack_host(
     x: np.ndarray,
     mask: np.ndarray,
     n_pulses: np.ndarray,
     labels: Dict[str, np.ndarray],
     node_labels: Dict[str, np.ndarray],
-) -> EventBatch:
-    """Host→device with label packing.
-
-    A Prometheus truth table alone yields ~38 label arrays; transferring
-    (and later passing to every step dispatch) each as its own buffer
-    makes both the per-batch host→device cost AND the per-step dispatch
-    cost scale with the *leaf count*, not the byte count (measured on
-    the tunneled TPU runtime: 41-leaf batch ≈ 34 ms to put once
-    degraded, and ~5 ms of blocking host work per 41-leaf step
-    dispatch).  So: concatenate all float labels into one ``[B, Kf]``
-    array and all int/bool labels into one ``[B, Ki]`` int32 array,
-    transfer ≤6 leaves in one batched ``device_put``, and keep them
-    packed in the ``EventBatch`` — the label dicts are restored by
-    ``EventBatch.unpack()`` *inside* the consumer's jit
-    (``StandardModel.loss_from_batch``), so the hot-loop dispatch
-    carries ~5 leaves.
-    """
-    import jax
-
+) -> HostPackedBatch:
+    """The host half of :func:`_to_device_packed`: concatenate labels
+    into the packed transfer layout without touching the device."""
     B = x.shape[0]
     fspec: list = []  # (key, width, is_scalar)
     fcols: list = []
@@ -208,16 +232,26 @@ def _to_device_packed(
         packed.append(
             np.stack([node_labels[k] for k in nspec], axis=-1)
         )
-    dev = jax.device_put(packed)
+    return HostPackedBatch(
+        arrays=packed,
+        fspec=tuple(fspec),
+        ispec=tuple(ispec),
+        nspec=nspec,
+        has_f=bool(fcols),
+        has_i=bool(icols),
+    )
+
+
+def _wrap_packed(dev: List, hp: HostPackedBatch) -> EventBatch:
+    """Assemble an EventBatch from device arrays in ``hp``'s layout.
+    ``dev`` leaves may carry an extra leading stack dimension."""
     xd, maskd, npd = dev[:3]
     rest = list(dev[3:])
-    fl = rest.pop(0) if fcols else None
-    il = rest.pop(0) if icols else None
-    nl = rest.pop(0) if nspec else None
-
-    if not (fspec or ispec or nspec):
+    fl = rest.pop(0) if hp.has_f else None
+    il = rest.pop(0) if hp.has_i else None
+    nl = rest.pop(0) if hp.nspec else None
+    if not (hp.fspec or hp.ispec or hp.nspec):
         return EventBatch(x=xd, mask=maskd, n_pulses=npd)
-
     return EventBatch(
         x=xd,
         mask=maskd,
@@ -225,8 +259,37 @@ def _to_device_packed(
         packed_f=fl,
         packed_i=il,
         packed_nl=nl,
-        label_spec=(tuple(fspec), tuple(ispec), nspec),
+        label_spec=(hp.fspec, hp.ispec, hp.nspec),
     )
+
+
+def _to_device_packed(
+    x: np.ndarray,
+    mask: np.ndarray,
+    n_pulses: np.ndarray,
+    labels: Dict[str, np.ndarray],
+    node_labels: Dict[str, np.ndarray],
+) -> EventBatch:
+    """Host→device with label packing.
+
+    A Prometheus truth table alone yields ~38 label arrays; transferring
+    (and later passing to every step dispatch) each as its own buffer
+    makes both the per-batch host→device cost AND the per-step dispatch
+    cost scale with the *leaf count*, not the byte count (measured on
+    the tunneled TPU runtime: 41-leaf batch ≈ 34 ms to put once
+    degraded, and ~5 ms of blocking host work per 41-leaf step
+    dispatch).  So: concatenate all float labels into one ``[B, Kf]``
+    array and all int/bool labels into one ``[B, Ki]`` int32 array,
+    transfer ≤6 leaves in one batched ``device_put``, and keep them
+    packed in the ``EventBatch`` — the label dicts are restored by
+    ``EventBatch.unpack()`` *inside* the consumer's jit
+    (``StandardModel.loss_from_batch``), so the hot-loop dispatch
+    carries ~5 leaves.
+    """
+    import jax
+
+    hp = _pack_host(x, mask, n_pulses, labels, node_labels)
+    return _wrap_packed(jax.device_put(hp.arrays), hp)
 
 
 class LenMatchBatchSampler:
@@ -303,6 +366,7 @@ class DataLoader:
         bucket_width: int = 16,
         drop_last: bool = False,
         num_workers: int = 0,
+        stack_k: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -329,6 +393,12 @@ class DataLoader:
         self.bucket_width = bucket_width
         self.drop_last = drop_last
         self.num_workers = num_workers
+        # stack_k > 1: group k same-shape batches HOST-side and transfer
+        # them as ONE np.stack-ed device_put (leaves get a leading k dim,
+        # yielded as StackedBatches) — pairs with
+        # Trainer(steps_per_dispatch=k), cutting transfer dispatches k x
+        # on tunneled runtimes where put cost scales with leaf count
+        self.stack_k = int(stack_k)
         self._pool = None
         self._fast_ok: Optional[bool] = None
         self._lengths: Optional[np.ndarray] = None
@@ -449,6 +519,7 @@ class DataLoader:
             ds,
             buckets=self.buckets,
             min_pulses=self.min_pulses,
+            to_device=self.stack_k <= 1,
         )
         if res is None:
             return (None, 0, 0)
@@ -485,6 +556,7 @@ class DataLoader:
             events,
             buckets=self.buckets,
             min_pulses=self.min_pulses,
+            to_device=self.stack_k <= 1,
         )
         if batch is None:
             return None
@@ -505,16 +577,62 @@ class DataLoader:
         self.buckets  # resolve "auto"
         self._valid_slots = 0
         self._total_slots = 0
-        if self.num_workers > 0:
-            yield from self._iter_pipelined()
-            return
-        for idxs in self._batches():
-            res = self._one_batch(idxs)
-            if res is not None:
-                batch, valid, total = res
-                self._valid_slots += valid
-                self._total_slots += total
-                yield batch
+
+        def plain() -> Iterator:
+            if self.num_workers > 0:
+                yield from self._iter_pipelined()
+                return
+            for idxs in self._batches():
+                res = self._one_batch(idxs)
+                if res is not None:
+                    batch, valid, total = res
+                    self._valid_slots += valid
+                    self._total_slots += total
+                    yield batch
+
+        if self.stack_k > 1:
+            yield from self._iter_stacked(plain())
+        else:
+            yield from plain()
+
+    def _iter_stacked(self, src: Iterator) -> Iterator:
+        """Group ``stack_k`` same-shape :class:`HostPackedBatch`es,
+        ``np.stack`` their transfer arrays, and device_put the stack ONCE
+        (leading k dim) — yielding :class:`~graphnet_tpu.batch.
+        StackedBatches` the Trainer scans over in one dispatch.
+        Per-shape leftovers (< k at epoch end) are transferred singly as
+        plain EventBatches."""
+        import jax
+
+        from graphnet_tpu.batch import StackedBatches
+
+        k = self.stack_k
+        buf: Dict[tuple, List[HostPackedBatch]] = {}
+        for hp in src:
+            key = (
+                hp.fspec,
+                hp.ispec,
+                hp.nspec,
+                hp.has_f,
+                hp.has_i,
+                tuple(a.shape for a in hp.arrays),
+            )
+            group = buf.setdefault(key, [])
+            group.append(hp)
+            if len(group) < k:
+                continue
+            del buf[key]
+            stacked = [
+                np.stack(parts)
+                for parts in zip(*(g.arrays for g in group))
+            ]
+            yield StackedBatches(
+                batches=_wrap_packed(jax.device_put(stacked), group[0]),
+                k=k,
+            )
+        for group in buf.values():
+            for hp in group:
+                yield _wrap_packed(jax.device_put(hp.arrays), hp)
 
     def _iter_pipelined(self) -> Iterator[EventBatch]:
         """Batch-LEVEL parallelism: each worker runs the whole pipeline

@@ -28,7 +28,7 @@ import numpy as np
 import optax
 from flax import core as flax_core
 
-from graphnet_tpu.batch import EventBatch
+from graphnet_tpu.batch import EventBatch, StackedBatches
 from graphnet_tpu.models.standard_model import StandardModel
 from graphnet_tpu.training.callbacks import (
     EarlyStopping,
@@ -470,6 +470,62 @@ class Trainer(Logger):
             )
             return params, opt_state, avg, losses
 
+        @functools.partial(jax.jit, donate_argnums=donate)
+        def train_scan_stacked(params, opt_state, stacked, rng_arr):
+            """train_scan over batches that arrive PRE-STACKED from
+            ``DataLoader(stack_k=k)`` (one host-side np.stack + one
+            device_put per dispatch instead of k — see
+            batch.StackedBatches).  Numerics identical to train_scan."""
+
+            def one(carry, xs):
+                p, o = carry
+                b, r = xs
+                loss, grads = jax.value_and_grad(loss_fn)(p, b, r)
+                updates, o = optimizer.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                one, (params, opt_state), (stacked, rng_arr)
+            )
+            return params, opt_state, losses
+
+        @functools.partial(jax.jit, donate_argnums=donate_avg)
+        def train_scan_avg_stacked(
+            params, opt_state, avg, count0, stacked, rng_arr
+        ):
+            def one(carry, xs):
+                p, o, a, c = carry
+                b, r = xs
+                loss, grads = jax.value_and_grad(loss_fn)(p, b, r)
+                updates, o = optimizer.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
+                first = c == 0
+                c = c + 1.0
+                if averaging == "swa":
+                    a = jax.tree_util.tree_map(
+                        lambda ai, pi: jnp.where(
+                            first, pi, ai + (pi - ai) / c
+                        ),
+                        a,
+                        p,
+                    )
+                else:  # ema
+                    a = jax.tree_util.tree_map(
+                        lambda ai, pi: jnp.where(
+                            first,
+                            pi,
+                            ema_decay * ai + (1.0 - ema_decay) * pi,
+                        ),
+                        a,
+                        p,
+                    )
+                return (p, o, a, c), loss
+
+            (params, opt_state, avg, _), losses = jax.lax.scan(
+                one, (params, opt_state, avg, count0), (stacked, rng_arr)
+            )
+            return params, opt_state, avg, losses
+
         def with_hints(fn):
             """Expose the trainer mesh to module code while TRACING (the
             graph-sharding halo hints in EdgeConv; no-op for meshes
@@ -489,6 +545,10 @@ class Trainer(Logger):
         self._train_step_fn = with_hints(train_step)
         self._train_scan_fn = with_hints(train_scan)
         self._train_scan_avg_fn = with_hints(train_scan_avg)
+        self._train_scan_stacked_fn = with_hints(train_scan_stacked)
+        self._train_scan_avg_stacked_fn = with_hints(
+            train_scan_avg_stacked
+        )
         self._eval_step_fn = with_hints(eval_step)
         self._predict_fn = with_hints(predict_step)
 
@@ -546,6 +606,54 @@ class Trainer(Logger):
                 self.state.params,
                 self.state.opt_state,
                 tuple(group),
+                rngs,
+            )
+        self.state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=self.state.step + k,
+        )
+        return losses_k
+
+    def _scan_train_steps_stacked(self, sb):
+        """k optimiser steps in ONE device dispatch over a pre-stacked
+        :class:`~graphnet_tpu.batch.StackedBatches` (from
+        ``DataLoader(stack_k=k)``).  Numerics identical to
+        :meth:`_scan_train_steps` on the k unstacked batches."""
+        k = sb.k
+        rngs = jnp.stack(
+            [
+                jax.random.fold_in(self._dropout_rng, self.state.step + j)
+                for j in range(k)
+            ]
+        )
+        if self.averaging is not None:
+            seeded = self._avg_params is not None
+            avg0 = (
+                self._avg_params
+                if seeded
+                else jax.tree_util.tree_map(
+                    jnp.zeros_like, self.state.params
+                )
+            )
+            count0 = jnp.float32(self._avg_count if seeded else 0)
+            params, opt_state, avg, losses_k = (
+                self._train_scan_avg_stacked_fn(
+                    self.state.params,
+                    self.state.opt_state,
+                    avg0,
+                    count0,
+                    sb.batches,
+                    rngs,
+                )
+            )
+            self._avg_params = avg
+            self._avg_count = (self._avg_count if seeded else 0) + k
+        else:
+            params, opt_state, losses_k = self._train_scan_stacked_fn(
+                self.state.params,
+                self.state.opt_state,
+                sb.batches,
                 rngs,
             )
         self.state = TrainState(
@@ -652,6 +760,24 @@ class Trainer(Logger):
             buf: Dict[Any, List[EventBatch]] = {}
             for i, batch in enumerate(iterator):
                 n_events += batch.batch_size
+                if isinstance(batch, StackedBatches):
+                    # pre-stacked k-step dispatch (DataLoader(stack_k=k))
+                    if self.mesh is not None:
+                        raise NotImplementedError(
+                            "DataLoader(stack_k>1) with a Trainer mesh: "
+                            "shard the batches instead (stack_k targets "
+                            "single-device transfer-dispatch cost)"
+                        )
+                    if self.state is None:
+                        self.init(
+                            jax.tree_util.tree_map(
+                                lambda a: a[0], batch.batches
+                            )
+                        )
+                        self._log_param_count()
+                    loss = self._scan_train_steps_stacked(batch)
+                    losses.append(jnp.atleast_1d(loss))
+                    continue
                 batch = self._shard_batch(batch)
                 if self.state is None:
                     self.init(batch)

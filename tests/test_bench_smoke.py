@@ -55,8 +55,8 @@ def test_bench_e2e_loader_assembly(monkeypatch):
         suspect = phase == "cached" and calls.count("cached") == 1
         return {
             "phase": phase,
-            "events_per_s": {"k1": 100.0, "kn": 80.0, "cached": 200.0,
-                             "mat": 150.0}[phase],
+            "events_per_s": {"k1": 100.0, "kn": 80.0, "kns": 90.0,
+                             "cached": 200.0, "mat": 150.0}[phase],
             "host_load_suspect": suspect,
             "host": {"pre": {"loadavg1": 0.1, "spin_ms": 20.0},
                      "post": {"loadavg1": 0.1, "spin_ms": 20.0},
@@ -67,7 +67,8 @@ def test_bench_e2e_loader_assembly(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     out = bench.bench_e2e_loader(n_epochs=2, steps_per_dispatch=2)
     assert out["events_per_s"] == 100.0
-    assert out["best_steps_per_dispatch"] == 1
+    assert out["best_mode"] == "k1"
+    assert out["stacked_dispatch_events_per_s"] == 90.0
     assert out["cached_replay_events_per_s"] == 200.0
     assert out["materialized_replay_events_per_s"] == 150.0
     assert calls.count("cached") == 2  # retried once

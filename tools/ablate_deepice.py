@@ -13,6 +13,13 @@ Variants isolate where the 145.7 ms step goes:
   remat       base + per-block jax.checkpoint (DeepIce(remat=True))
   B32         base at B=32 (OOMs on v5e without remat)
   remat_B32   remat at B=32 — the remat-unlocked batch size
+  depth0      depth=0 — the 12 plain cls-token blocks removed (isolates
+              them as base - depth0 - encoder)
+  encoder     depth=0 AND depth_rel=0 — FourierEncoder + task only
+  L1536_chunks / L1536_flash  B=8, L=1536: the shape where the Pallas
+              rel-flash kernel's auto policy engages — records the
+              kernel's win vs the chunked-dense path at long L
+  remat_B32_flash  remat at B=32 with rel_flash="always"
 """
 import json
 import subprocess
@@ -34,6 +41,33 @@ from graphnet_tpu.models.task.reconstruction import (
 from graphnet_tpu.training.loss_functions import VonMisesFisher3DLoss
 
 B_d, L_d = 16, 768
+
+kw = dict(n_features=6, rel_bias_chunks=4, compute_dtype="bfloat16",
+          rel_flash="never")
+if variant == "flash":
+    kw["rel_flash"] = "always"
+elif variant == "no_bias":
+    kw["n_rel"] = 0
+elif variant == "no_rel":
+    kw["depth_rel"] = 0
+elif variant == "depth0":
+    kw["depth"] = 0
+elif variant == "encoder":
+    kw["depth"] = 0
+    kw["depth_rel"] = 0
+elif variant == "remat":
+    kw["remat"] = True
+elif variant in ("remat_B32", "B32", "remat_B32_flash"):
+    if variant.startswith("remat"):
+        kw["remat"] = True
+    if variant.endswith("flash"):
+        kw["rel_flash"] = "always"
+    B_d = 32
+elif variant in ("L1536_chunks", "L1536_flash"):
+    B_d, L_d = 8, 1536
+    if variant.endswith("flash"):
+        kw["rel_flash"] = "always"
+
 rng = np.random.default_rng(0)
 events = [np.concatenate([
     rng.standard_normal((L_d, 3)).astype(np.float32),
@@ -45,32 +79,6 @@ direction = rng.standard_normal((B_d, 3)).astype(np.float32)
 direction /= np.linalg.norm(direction, axis=1, keepdims=True)
 batch = jax.device_put(
     make_batch(events, labels={"direction": direction}, length=L_d))
-
-kw = dict(n_features=6, rel_bias_chunks=4, compute_dtype="bfloat16",
-          rel_flash="never")
-if variant == "flash":
-    kw["rel_flash"] = "always"
-elif variant == "no_bias":
-    kw["n_rel"] = 0
-elif variant == "no_rel":
-    kw["depth_rel"] = 0
-elif variant == "remat":
-    kw["remat"] = True
-elif variant in ("remat_B32", "B32"):
-    if variant == "remat_B32":
-        kw["remat"] = True
-    B_d = 32
-    rng = np.random.default_rng(0)
-    events = [np.concatenate([
-        rng.standard_normal((L_d, 3)).astype(np.float32),
-        rng.random((L_d, 1)).astype(np.float32),
-        rng.random((L_d, 1)).astype(np.float32),
-        (rng.random((L_d, 1)) > 0.5).astype(np.float32)], axis=1)
-        for _ in range(B_d)]
-    direction = rng.standard_normal((B_d, 3)).astype(np.float32)
-    direction /= np.linalg.norm(direction, axis=1, keepdims=True)
-    batch = jax.device_put(
-        make_batch(events, labels={"direction": direction}, length=L_d))
 
 model = StandardModel(
     backbone=DeepIce(**kw),

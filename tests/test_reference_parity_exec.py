@@ -725,3 +725,89 @@ def test_rnn_tito_parity(ref):
     out = our_model.apply(params, b)
     err = _rel_err(ref_out, np.asarray(out))
     assert err < 5e-4, f"rnn_tito output: rel err {err:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# Explicit gradient parity (VERDICT r3 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_dynedge_explicit_grad_parity(ref):
+    """Per-parameter gradient match vs the executed reference's autograd
+    for DynEdge (the fused-EdgeConv custom-VJP path).  The 20-step
+    trajectories already verify gradients IMPLICITLY (any VJP bug
+    compounds); this pins a direct single-step comparison on parameters
+    whose porter mapping is a pure transpose (readout Dense kernels), so
+    a failure localizes to the backward pass rather than the optimiser."""
+    from graphnet.models.gnn import DynEdge as RefDynEdge
+    from graphnet.models.task.reconstruction import (
+        EnergyReconstruction as RefEnergy,
+    )
+    from graphnet.training.loss_functions import LogCoshLoss as RefLogCosh
+
+    from graphnet_tpu.models.gnn.dynedge import DynEdge as OurDynEdge
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+    from graphnet_tpu.utils.weight_port import port_dynedge_state_dict
+
+    events = _random_events(61, 4)
+    energy = np.asarray([1.2, 3.4, 0.7, 2.2], dtype=np.float32)
+
+    torch.manual_seed(0)
+    ref_backbone = RefDynEdge(
+        nb_inputs=4, global_pooling_schemes=["min", "max", "mean", "sum"]
+    ).eval()
+    torch.manual_seed(1)
+    ref_task = RefEnergy(
+        hidden_size=ref_backbone.nb_outputs,
+        target_labels="energy",
+        loss_function=RefLogCosh(),
+    ).eval()
+    data = _make_data(ref, events)
+    data["energy"] = torch.from_numpy(energy)
+
+    preds = ref_task(ref_backbone(data))
+    loss = ref_task.compute_loss(preds, data)
+    loss.backward()
+    # reference readout Linear: _readout.0 (gnn/dynedge.py:242-249)
+    ref_g = {
+        "readout": ref_backbone._readout[0].weight.grad.numpy(),
+        "task": ref_task._affine.weight.grad.numpy(),
+    }
+
+    sd0 = {
+        "backbone." + k: v.detach() for k, v in ref_backbone.state_dict().items()
+    }
+    sd0.update(
+        {"_tasks.0." + k: v.detach() for k, v in ref_task.state_dict().items()}
+    )
+
+    model = StandardModel(
+        backbone=OurDynEdge(nb_inputs=4),
+        tasks=(
+            EnergyReconstruction(
+                target_labels=("energy",), loss_function=LogCoshLoss()
+            ),
+        ),
+    )
+    b = _our_batch_with_edges(events, labels={"energy": energy})
+    params = model.init(jax.random.PRNGKey(0), b)
+    params = port_dynedge_state_dict(sd0, params)
+
+    def loss_fn(p):
+        return model.loss_from_batch(model.apply(p, b), b)
+
+    our_loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert abs(float(our_loss) - float(loss)) < 1e-4 * max(
+        1.0, abs(float(loss))
+    )
+    gp = grads["params"]
+    # our Dense kernels are the torch weights TRANSPOSED, so grads map by
+    # the same transpose
+    ours_readout = np.asarray(gp["backbone"]["readout"]["dense_0"]["kernel"]).T
+    err = _rel_err(ref_g["readout"], ours_readout)
+    assert err < 2e-4, f"readout kernel grad: rel err {err:.2e}"
+    ours_task = np.asarray(gp["tasks_0"]["affine"]["kernel"]).T
+    err = _rel_err(ref_g["task"], ours_task)
+    assert err < 2e-4, f"task affine grad: rel err {err:.2e}"

@@ -51,6 +51,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# The backward kernels hold more per-chunk planes live than the
+# default 16 MB scoped-VMEM stack fits at long L (B=8 L=1536 hg=4
+# overflowed it by 3.6 MB — the exact shape the auto policy engages
+# at).  v5e has 128 MB of VMEM; raise the scoped limit for all three
+# kernels.
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=64 * 1024 * 1024
+)
 
 __all__ = [
     "pair_distance",
@@ -451,6 +461,7 @@ def _rel_fwd(q, qt, qb, k, v, x0, mask, tq, ts, freqs, interpret, hg=0):
     o, oe, lse = pl.pallas_call(
         kern,
         grid=grid,
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec(
                 (1, 1, tq, hg * hd), lambda b, g, i: (b, g, i, 0)
@@ -742,6 +753,7 @@ def _rel_bwd(tq, ts, freqs, interpret, hg, residuals, cot):
             freqs=freqs,
         ),
         grid=(B, G, L // tq),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=common_specs,
         out_specs=[
             pl.BlockSpec(
@@ -783,6 +795,7 @@ def _rel_bwd(tq, ts, freqs, interpret, hg, residuals, cot):
             freqs=freqs,
         ),
         grid=(B, G, L // ts),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=full_specs,
         out_specs=[
             pl.BlockSpec(

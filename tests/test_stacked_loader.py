@@ -151,3 +151,32 @@ def test_trainer_stacked_swa_matches():
     a2 = jax.tree_util.tree_leaves(t_stacked._avg_params)
     for a, b in zip(a1, a2):
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_stack_k_through_sqlite_fast_path():
+    """stack_k composes with the vectorised SQLite fast-collate route
+    (collate_from_arrays to_device=False) — the path the e2e bench's
+    `kns` phase runs.  Stacked leaves must equal the np.stack of the
+    plain loader's batches on the same synthetic DB."""
+    pytest.importorskip("graphnet_tpu.datasets.synthetic")
+    import bench
+
+    plain_loader = bench._e2e_loader(300)
+    stacked_loader = bench._e2e_loader(300, stack_k=2)
+    # fast path must actually engage (the point of this test)
+    plain = list(plain_loader)
+    assert plain_loader._fast_ok is True
+    stacked = list(stacked_loader)
+    assert stacked_loader._fast_ok is True
+
+    flat = []
+    for b in stacked:
+        flat.extend(b.unstack() if isinstance(b, StackedBatches) else [b])
+    assert len(flat) == len(plain)
+    for a, b in zip(plain, flat):
+        la, ta = jax.tree_util.tree_flatten(a)
+        lb, tb = jax.tree_util.tree_flatten(b)
+        assert ta == tb
+        for xa, xb in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))

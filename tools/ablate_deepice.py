@@ -123,9 +123,15 @@ for _i in range(reps):
     p, o, losses = steps(p, o, batch)
 lv = float(losses[-1])
 dt = (time.perf_counter() - t0) / (reps * 8)
+try:
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak_gb = round(stats.get("peak_bytes_in_use", 0) / 1e9, 3)
+except Exception:
+    peak_gb = None
 print(json.dumps({"variant": variant,
                   "step_ms": round(dt * 1e3, 2),
                   "events_per_s": round(B_d / dt, 1),
+                  "peak_hbm_gb": peak_gb,
                   "loss": lv}), flush=True)
 """
 

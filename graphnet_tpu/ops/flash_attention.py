@@ -31,6 +31,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# The backward kernels' live per-tile planes overflow Mosaic's default
+# 16 MB scoped-VMEM stack at long L (L=3072 exceeded it by 204 KB);
+# v5e has 128 MB of VMEM — raise the scoped limit for all kernels.
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=64 * 1024 * 1024
+)
 
 TQ = 1024  # max query tile (picked per-L: largest divisor of L <= TQ)
 TS = 512  # max key/value chunk
@@ -93,6 +101,7 @@ def _fwd(q, k, v, mask, scale, tq, ts):
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, tq=tq, ts=ts),
         grid=grid,
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((1, tq, D), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0)),
@@ -186,6 +195,7 @@ def _bwd(scale, tq, ts, residuals, go):
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, tq=tq, ts=ts),
         grid=(BH, L // tq),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((1, tq, D), lambda b, i: (b, i, 0)),  # q tile
             pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0)),  # k
@@ -201,6 +211,7 @@ def _bwd(scale, tq, ts, residuals, go):
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, tq=tq, ts=ts),
         grid=(BH, L // ts),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0)),  # q
             pl.BlockSpec((1, ts, D), lambda b, i: (b, i, 0)),  # k chunk

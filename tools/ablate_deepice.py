@@ -50,6 +50,10 @@ elif variant == "no_bias":
     kw["n_rel"] = 0
 elif variant == "no_rel":
     kw["depth_rel"] = 0
+elif variant == "chunks1":
+    # materialise the [B, L, L, hd] bf16 pair tensor ONCE (XLA saves it
+    # for backward — no per-chunk transcendental recompute)
+    kw["rel_bias_chunks"] = 1
 elif variant == "depth0":
     kw["depth"] = 0
 elif variant == "encoder":
@@ -65,6 +69,13 @@ elif variant in ("remat_B32", "B32", "remat_B32_flash"):
     B_d = 32
 elif variant in ("L1536_chunks", "L1536_flash"):
     B_d, L_d = 8, 1536
+    if variant.endswith("flash"):
+        kw["rel_flash"] = "always"
+elif variant in ("L3072_chunks", "L3072_flash"):
+    # the memory-bound regime: the chunked-dense path's O(L^2) fp32
+    # attention planes + saved-for-bwd buffers should exceed v5e HBM
+    # here while the streaming kernel holds only O(L*ts) tiles
+    B_d, L_d = 8, 3072
     if variant.endswith("flash"):
         kw["rel_flash"] = "always"
 

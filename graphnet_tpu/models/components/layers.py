@@ -602,19 +602,27 @@ class AttentionRel(nn.Module):
     rel_chunks: int = 1
     # use the Pallas streaming rel-bias kernel for the biased path when
     # the shape qualifies (requires ``rel_source``): "never", "always",
-    # or "auto" (TPU backend AND L >= _REL_FLASH_MIN_LEN).  Measured
-    # negative result at L=768, B=16, H=12 (tools/tpu_check_rel_flash):
-    # the XLA chunked-dense path wins on speed (fwd 14.5 vs 16.7 ms,
-    # hg=6) because the pair-embedding transcendentals + per-head FMA
-    # planes are VPU-bound while the dense einsums ride the MXU; both
-    # scale O(L^2), so the kernel's value is MEMORY (no O(L^2*e) HBM
-    # tensor) — engage it only where that matters.
+    # or "auto" (TPU backend AND the chunked path's O(L^2) buffers
+    # would not fit HBM — see :meth:`rel_flash_auto`).  Measured
+    # negative results (tools/ablate_deepice.py, 2026-08-20): on SPEED
+    # the XLA chunked-dense path wins wherever it fits — full train
+    # step 112.7 vs 157.3 ms at B=16 L=768, 170.0 vs 260.5 ms at B=8
+    # L=1536 — because the kernel recomputes the pair-embedding
+    # transcendentals per head-group in fwd AND bwd while the dense
+    # einsums ride the MXU.  The kernel's value is MEMORY: at B=8
+    # L=3072 the chunked path OOMs v5e HBM (>=20 x 432 MB bwd temps
+    # even after XLA remat) while the streaming kernel trains at
+    # 893 ms/step — the only way to run that shape on one chip.
     rel_flash: str = "auto"
     dtype: Optional[jnp.dtype] = None
 
-    # L at which the chunked-dense path's O(L^2) HBM buffers (rel chunk
-    # + fp32 attn planes, fwd AND saved-for-bwd) start to dominate HBM
-    _REL_FLASH_MIN_LEN = 1536
+    @staticmethod
+    def rel_flash_auto(B: int, H: int, L: int) -> bool:
+        """True when the chunked-dense biased path would exhaust HBM:
+        one bf16 [B, H, L, L] attention plane > ~600 MB (the backward
+        holds tens of such temps; measured fits at 452 MB/plane —
+        B=8 L=1536 — and OOMs at 1.8 GB/plane — B=8 L=3072)."""
+        return B * H * L * L * 2 > 600e6
 
     @nn.compact
     def __call__(
@@ -653,7 +661,7 @@ class AttentionRel(nn.Module):
             use_flash = self.rel_flash == "always" or (
                 self.rel_flash == "auto"
                 and jax.default_backend() == "tpu"
-                and L >= self._REL_FLASH_MIN_LEN
+                and self.rel_flash_auto(B, H, L)
             )
             # the kernel's rel-value fold requires pair-feature dim ==
             # head dim (true for DeepIce: SpacetimeEncoder(head_size))

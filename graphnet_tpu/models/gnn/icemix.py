@@ -98,7 +98,9 @@ class DeepIce(GNN):
             or (
                 self.rel_flash == "auto"
                 and jax.default_backend() == "tpu"
-                and L >= AttentionRel._REL_FLASH_MIN_LEN
+                and AttentionRel.rel_flash_auto(
+                    B, self.hidden_dim // self.head_size, L
+                )
             )
         ) and rel_flash_supported(L, self.head_size)
         if self.rel_bias_chunks > 1 or flash_ok:

@@ -237,12 +237,20 @@ class MaterializedLoader:
             stay off-device.
         process_index / process_count: this host's shard of the batch
             stream (None = serve everything).
+        stack_k: >1 groups consecutive same-shape batches, stacks their
+            leaves host-side and transfers the stack in ONE
+            ``device_put``, yielding :class:`~graphnet_tpu.batch.
+            StackedBatches` (the ``DataLoader(stack_k=k)`` protocol —
+            pairs with ``Trainer(steps_per_dispatch=k)``); tunneled
+            runtimes pay per transfer dispatch, so this cuts delivery
+            overhead k-fold.
     """
 
     def __init__(self, path: str, shuffle: bool = True, seed: int = 0,
                  device=None, to_device: bool = True,
                  process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 stack_k: int = 0):
         with open(os.path.join(path, _META)) as f:
             meta = json.load(f)
         if meta.get("version") != _VERSION:
@@ -254,6 +262,7 @@ class MaterializedLoader:
         self.seed = seed
         self.device = device
         self.to_device = to_device
+        self.stack_k = int(stack_k)
         self._groups = [_Group(path, g) for g in meta["groups"]]
         self._index: List[Tuple[int, int]] = [
             (gi, i)
@@ -349,6 +358,9 @@ class MaterializedLoader:
     def __iter__(self) -> Iterator[EventBatch]:
         order = self._epoch_order()
         self._epoch += 1
+        if self.stack_k > 1 and self.to_device:
+            yield from self._iter_stacked(order)
+            return
         for gi, i in order:
             batch = self._groups[gi].batch(i)
             if not self.to_device:
@@ -357,3 +369,48 @@ class MaterializedLoader:
                 yield jax.device_put(batch, self.device)
             else:
                 yield jax.device_put(batch)
+
+    def _iter_stacked(self, order) -> Iterator:
+        """Group CONSECUTIVE same-shape batches in the epoch order,
+        ``np.stack`` their (memmap) leaves host-side and ``device_put``
+        the stack once — one transfer and (with the Trainer's
+        ``steps_per_dispatch`` scan) one dispatch per ``stack_k``
+        steps, mirroring ``DataLoader(stack_k=k)``.  Consecutive-run
+        grouping (never reordering) keeps the multi-host shape-aligned
+        schedule in lockstep; group-boundary remainders are yielded as
+        single batches."""
+        from graphnet_tpu.batch import StackedBatches
+
+        def flush(group):
+            if len(group) == self.stack_k:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *group
+                )
+                yield StackedBatches(
+                    batches=(
+                        jax.device_put(stacked, self.device)
+                        if self.device is not None
+                        else jax.device_put(stacked)
+                    ),
+                    k=self.stack_k,
+                )
+            else:
+                for b in group:
+                    yield (
+                        jax.device_put(b, self.device)
+                        if self.device is not None
+                        else jax.device_put(b)
+                    )
+
+        group: List[EventBatch] = []
+        last_gi = None
+        for gi, i in order:
+            if last_gi is not None and (
+                gi != last_gi or len(group) == self.stack_k
+            ):
+                yield from flush(group)
+                group = []
+            group.append(self._groups[gi].batch(i))
+            last_gi = gi
+        if group:
+            yield from flush(group)

@@ -42,21 +42,27 @@ def test_bench_e2e_phase(tiny, phase):
 
 
 def test_bench_e2e_loader_assembly(monkeypatch):
-    """bench_e2e_loader orchestrates one fresh subprocess per phase and
-    retries a host-load-suspect phase once — exercised with a stubbed
-    child so the assembly/retry logic is covered without processes."""
+    """bench_e2e_loader orchestrates fresh subprocesses per phase —
+    best-of-3 for the rebuild phases (k1/kn/kns), best-of-2 for the
+    stable replay phases — and retries a host-load-suspect draw once.
+    Exercised with a stubbed child so the assembly/retry logic is
+    covered without processes."""
     calls = []
 
     def fake_sub(name, kwargs=None, timeout_s=3600):
         assert name == "e2e_phase"
         phase = kwargs["phase"]
         calls.append(phase)
-        # first "cached" attempt reports a loaded host
+        # first "cached" attempt reports a loaded host; the second kns
+        # draw lands in the tunnel's slow mode
         suspect = phase == "cached" and calls.count("cached") == 1
+        eps = {"k1": 100.0, "kn": 80.0, "kns": 90.0,
+               "cached": 200.0, "mat": 150.0}[phase]
+        if phase == "kns" and calls.count("kns") == 2:
+            eps = 50.0
         return {
             "phase": phase,
-            "events_per_s": {"k1": 100.0, "kn": 80.0, "kns": 90.0,
-                             "cached": 200.0, "mat": 150.0}[phase],
+            "events_per_s": eps,
             "host_load_suspect": suspect,
             "host": {"pre": {"loadavg1": 0.1, "spin_ms": 20.0},
                      "post": {"loadavg1": 0.1, "spin_ms": 20.0},
@@ -68,10 +74,16 @@ def test_bench_e2e_loader_assembly(monkeypatch):
     out = bench.bench_e2e_loader(n_epochs=2, steps_per_dispatch=2)
     assert out["events_per_s"] == 100.0
     assert out["best_mode"] == "k1"
-    assert out["stacked_dispatch_events_per_s"] == 90.0
+    assert out["stacked_dispatch_events_per_s"] == 90.0  # best of 3
     assert out["cached_replay_events_per_s"] == 200.0
     assert out["materialized_replay_events_per_s"] == 150.0
-    assert calls.count("cached") == 2  # retried once
+    # rebuild phases: 3 draws each; cached: 2 draws + 1 suspect retry
+    assert calls.count("k1") == 3
+    assert calls.count("kns") == 3
+    assert calls.count("cached") == 3
+    assert calls.count("mat") == 2
+    # the slow kns draw is recorded, not hidden
+    assert out["runs_events_per_s"]["kns"] == [90.0, 50.0, 90.0]
     assert out["retried_phases"] == ["cached"]
     assert "host_load_suspect" not in out  # retry came back clean
 

@@ -184,6 +184,59 @@ class TestMaterializedStore:
         assert isinstance(np.asarray(b.x), np.ndarray)
         assert type(b.x).__module__.startswith("numpy")
 
+    def test_stack_k_groups_consecutive_same_shape(self, tmp_path):
+        """stack_k>1: consecutive same-shape batches come back as ONE
+        StackedBatches (transferred in one device_put); shape-group
+        boundaries and remainders fall back to single batches; the
+        unstacked contents equal the plain loader's, in order."""
+        from graphnet_tpu.batch import StackedBatches
+
+        src = synthetic_batches()
+        path = str(tmp_path / "store")
+        materialize(_ListLoader(src), path)
+
+        plain = list(MaterializedLoader(path, shuffle=False))
+        stacked = list(
+            MaterializedLoader(path, shuffle=False, stack_k=2)
+        )
+        # (4,16) x2 -> one stack of 2; (3,32) x1 -> single remainder
+        assert [type(b).__name__ for b in stacked] == [
+            "StackedBatches",
+            "EventBatch",
+        ]
+        flat = []
+        for b in stacked:
+            flat.extend(
+                b.unstack() if isinstance(b, StackedBatches) else [b]
+            )
+        assert len(flat) == len(plain)
+        for a, b in zip(flat, plain):
+            for name, ref in _leafdict(b).items():
+                np.testing.assert_array_equal(
+                    _leafdict(a)[name], ref, err_msg=name
+                )
+
+    def test_stack_k_shuffled_epochs_cover_everything(self, tmp_path):
+        """Shuffled stack_k replay still serves every batch exactly once
+        per epoch (stacks + singles partition the epoch)."""
+        from graphnet_tpu.batch import StackedBatches
+
+        src = synthetic_batches()
+        path = str(tmp_path / "store")
+        materialize(_ListLoader(src), path)
+        ml = MaterializedLoader(path, shuffle=True, seed=3, stack_k=2)
+        for _ in range(3):  # several epochs, different orders
+            flat = []
+            for b in ml:
+                flat.extend(
+                    b.unstack()
+                    if isinstance(b, StackedBatches)
+                    else [b]
+                )
+            assert sorted(_key(b) for b in flat) == sorted(
+                _key(b) for b in src
+            )
+
     def test_process_sharding(self, tmp_path):
         """Hosts read disjoint equal-length slices of one shared
         permutation; the union covers all batches each full epoch when

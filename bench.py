@@ -669,7 +669,7 @@ def bench_e2e_phase(
     prefetch: int = 0,
 ) -> dict:
     """ONE end-to-end phase (Prometheus SQLite DB → SQLiteDataset →
-    DataLoader → PrefetchingLoader → jitted train step), run in its own
+    DataLoader → EpochPipeline → jitted train step), run in its own
     subprocess by :func:`bench_e2e_loader`.
 
     Phases: ``k1`` (one dispatch per step), ``kn``
@@ -699,7 +699,6 @@ def bench_e2e_phase(
     import optax
 
     from graphnet_tpu.constants import EXAMPLE_SQLITE_DATA
-    from graphnet_tpu.data.prefetch import PrefetchingLoader
     from graphnet_tpu.models.gnn.dynedge import DynEdge
     from graphnet_tpu.models.standard_model import StandardModel
     from graphnet_tpu.models.task.reconstruction import EnergyReconstruction
@@ -816,100 +815,74 @@ def bench_e2e_phase(
         )
         return params, opt_state, losses[-1]
 
-    class _EpochStream:
-        """All ``n_epochs`` epochs as ONE stream, so a single
-        PrefetchingLoader (and the DataLoader pool behind it) stays warm
-        across epoch boundaries — per-epoch re-wrapping stalls the
-        pipeline ~14 ms per boundary (measured), 18% of a 16-batch epoch
-        at the canonical shape.  ``boundaries[i]`` = cumulative yield
-        count at the end of epoch i (producer runs ahead of the
-        consumer, so the consumer can read its own epoch-0 boundary)."""
+    # the PRODUCTION warm cross-epoch pipeline (Trainer.fit(prefetch=N)
+    # runs this exact class): one background device_put producer for all
+    # epochs, in-band epoch markers, no boundary drain — re-wrapping a
+    # PrefetchingLoader per epoch stalls ~14 ms per 16-batch epoch
+    # (docs/architecture.md section 5)
+    from graphnet_tpu.batch import StackedBatches
+    from graphnet_tpu.data.prefetch import EpochPipeline
 
-        def __init__(self, src, n):
-            self.src = src
-            self.n = n
-            self.boundaries = []
-            self._count = 0
-
-        def __iter__(self):
-            for e in range(self.n):
-                if e > 0:
-                    # publish the PREVIOUS epoch's boundary before any
-                    # batch of this epoch can reach the consumer — an
-                    # append after the last yield races the consumer
-                    # (it may process that yield first and never see
-                    # the boundary it just crossed)
-                    self.boundaries.append(self._count)
-                se = getattr(self.src, "set_epoch", None)
-                if se is not None:
-                    se(e)
-                for b in self.src:
-                    self._count += 1
-                    yield b
-            self.boundaries.append(self._count)
-
-    stream = _EpochStream(source, n_epochs)
     params = opt_state = loss = None
     n_events = 0
-    n_yields = 0
     t0 = None
     buf = {}  # padded-shape key -> buffered batches (Trainer's scheme)
-    for batch in PrefetchingLoader(
-        stream, prefetch=prefetch or max(4, 2 * k)
-    ):
-        from graphnet_tpu.batch import StackedBatches
-
-        if (
-            t0 is None
-            and stream.boundaries
-            and n_yields >= stream.boundaries[0]
-        ):
-            # every epoch-0 batch processed (compiles included): start
-            # the timed region.  block_until_ready (an early return
-            # would only leak warmup work INTO the timed region —
-            # slower, never faster); the end boundary is a scalar
-            # readback, the only sync the tunneled runtime always
-            # honors.  Checked BEFORE processing: the boundary is
-            # published by the producer ahead of the first epoch-1
-            # batch, so this trips exactly there.
-            jax.block_until_ready(loss)
-            t0 = time.perf_counter()
-        n_yields += 1
-        if isinstance(batch, StackedBatches):
-            if params is None:
-                params = model.init(
-                    jax.random.PRNGKey(0),
-                    jax.tree_util.tree_map(
-                        lambda a: a[0], batch.batches
-                    ),
-                )
-                opt_state = optimizer.init(params)
-            params, opt_state, loss = scan_step_stacked(
-                params, opt_state, batch.batches
-            )
-            if t0 is not None:
-                n_events += batch.batch_size
-        else:
-            if params is None:
-                params = model.init(jax.random.PRNGKey(0), batch)
-                opt_state = optimizer.init(params)
-            if k > 1:
-                leaves = jax.tree_util.tree_leaves(batch)
-                key = tuple(getattr(x, "shape", ()) for x in leaves)
-                group = buf.setdefault(key, [])
-                group.append(batch)
-                if len(group) < k:
-                    continue
-                del buf[key]
-                params, opt_state, loss = scan_step(
-                    params, opt_state, tuple(group)
-                )
-                if t0 is not None:
-                    n_events += sum(b.batch_size for b in group)
-            else:
-                params, opt_state, loss = step(params, opt_state, batch)
-                if t0 is not None:
-                    n_events += batch.batch_size
+    with EpochPipeline(
+        source, n_epochs, prefetch=prefetch or max(4, 2 * k)
+    ) as pipeline:
+        for epoch in range(n_epochs):
+            for batch in pipeline.epoch():
+                if isinstance(batch, StackedBatches):
+                    if params is None:
+                        params = model.init(
+                            jax.random.PRNGKey(0),
+                            jax.tree_util.tree_map(
+                                lambda a: a[0], batch.batches
+                            ),
+                        )
+                        opt_state = optimizer.init(params)
+                    params, opt_state, loss = scan_step_stacked(
+                        params, opt_state, batch.batches
+                    )
+                    if t0 is not None:
+                        n_events += batch.batch_size
+                else:
+                    if params is None:
+                        params = model.init(jax.random.PRNGKey(0), batch)
+                        opt_state = optimizer.init(params)
+                    if k > 1:
+                        leaves = jax.tree_util.tree_leaves(batch)
+                        key = tuple(
+                            getattr(x, "shape", ()) for x in leaves
+                        )
+                        group = buf.setdefault(key, [])
+                        group.append(batch)
+                        if len(group) < k:
+                            continue
+                        del buf[key]
+                        params, opt_state, loss = scan_step(
+                            params, opt_state, tuple(group)
+                        )
+                        if t0 is not None:
+                            n_events += sum(
+                                b.batch_size for b in group
+                            )
+                    else:
+                        params, opt_state, loss = step(
+                            params, opt_state, batch
+                        )
+                        if t0 is not None:
+                            n_events += batch.batch_size
+            if epoch == 0:
+                # every epoch-0 batch processed (compiles included):
+                # start the timed region.  block_until_ready (an early
+                # return would only leak warmup work INTO the timed
+                # region - slower, never faster); the end boundary is a
+                # scalar readback, the only sync the tunneled runtime
+                # always honors.  The producer keeps building epoch 1
+                # during this sync - that is the point.
+                jax.block_until_ready(loss)
+                t0 = time.perf_counter()
     for group in buf.values():  # leftovers (< k): single steps
         for batch in group:
             params, opt_state, loss = step(params, opt_state, batch)

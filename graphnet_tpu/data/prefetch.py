@@ -73,6 +73,116 @@ class PrefetchingLoader:
             raise err[0]
 
 
+class EpochPipeline:
+    """Warm cross-epoch prefetch: ONE background thread iterates the
+    loader for all epochs (calling ``set_epoch`` per epoch) and eagerly
+    ``device_put``s batches; the consumer pulls per-epoch slices with
+    :meth:`epoch`.
+
+    Re-wrapping a :class:`PrefetchingLoader` every epoch drains and
+    restarts the pipeline at each boundary — measured ~14 ms per
+    boundary on the 4-core e2e host, 18% of a 16-batch epoch at the
+    canonical DynEdge shape (``docs/architecture.md`` §5).  Keeping one
+    producer alive lets the host build epoch e+1's first batches while
+    the device finishes epoch e.
+
+    Epoch boundaries travel IN-BAND as queue markers, so there is no
+    producer/consumer race on a shared counter.  ``close()`` stops the
+    producer promptly (it checks a stop flag around every blocking
+    put) — call it when training ends early (early stopping,
+    exception), or use the context-manager form.
+
+    Args:
+        loader: re-iterable batch source (DataLoader, CachingLoader,
+            MaterializedLoader ...); ``set_epoch`` is forwarded when
+            present.
+        n_epochs: number of epochs to stream, starting at
+            ``start_epoch``.
+        prefetch: queue depth in yielded items (stacked batches count
+            as one).  Deeper absorbs host/device jitter; 4-8 measured
+            best on the tunneled runtime.
+        device: target device or sharding for ``jax.device_put``
+            (None = default device).
+        start_epoch: first epoch index (resume support).
+    """
+
+    def __init__(self, loader, n_epochs: int, prefetch: int = 4,
+                 device=None, start_epoch: int = 0):
+        self.loader = loader
+        self.n_epochs = int(n_epochs)
+        self.prefetch = max(1, int(prefetch))
+        self.device = device
+        self.start_epoch = int(start_epoch)
+        self._q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._produce, daemon=True
+        )
+        self._started = False
+
+    def _put(self, item) -> bool:
+        """Blocking put that aborts promptly when close() is called."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _produce(self) -> None:
+        try:
+            for e in range(self.start_epoch, self.n_epochs):
+                if self._stop.is_set():
+                    return
+                se = getattr(self.loader, "set_epoch", None)
+                if se is not None:
+                    se(e)
+                for batch in self.loader:
+                    if self.device is not None:
+                        batch = jax.device_put(batch, self.device)
+                    else:
+                        batch = jax.device_put(batch)
+                    if not self._put(("batch", batch)):
+                        return
+                if not self._put(("end", e)):
+                    return
+        except BaseException as exc:  # propagate into the consumer
+            self._put(("error", exc))
+
+    def epoch(self) -> Iterator:
+        """Iterator over the NEXT epoch's batches (consume in order;
+        each call ends at the next in-band epoch marker)."""
+        if not self._started:
+            self._thread.start()
+            self._started = True
+        while True:
+            kind, payload = self._q.get()
+            if kind == "batch":
+                yield payload
+            elif kind == "end":
+                return
+            else:
+                raise payload
+
+    def close(self) -> None:
+        """Stop the producer (idempotent).  Safe mid-epoch: the thread
+        exits at its next put/loop check."""
+        self._stop.set()
+        # unblock a producer waiting on a full queue
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __enter__(self) -> "EpochPipeline":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 class CachingLoader:
     """Materialise the wrapped loader's batches on first iteration, then
     replay them from memory — the host pipeline (SQL, graph building,

@@ -676,6 +676,7 @@ class Trainer(Logger):
         ckpt_best: bool = True,
         resume: bool = False,
         profile_dir: Optional[str] = None,
+        prefetch: int = 0,
     ) -> Dict[str, List[float]]:
         """Train; returns history dict. Mirrors `EasySyntax.fit` defaults
         (`easy_model.py:114-184`): early stopping on val_loss with best-
@@ -684,7 +685,19 @@ class Trainer(Logger):
         ``resume=True`` restores ``<checkpoint_dir>/last`` (params,
         optimiser state, epoch) if present — preemption-safe training.
         ``profile_dir`` captures a jax profiler trace of the first epoch's
-        steps for xprof analysis."""
+        steps for xprof analysis.
+
+        ``prefetch > 0`` streams every epoch through ONE warm
+        :class:`~graphnet_tpu.data.prefetch.EpochPipeline` (background
+        host pipeline + eager ``device_put``, ``prefetch`` items deep):
+        the host builds epoch e+1's first batches while the device
+        finishes epoch e, and the pipeline never drains at epoch
+        boundaries.  Combined with ``DataLoader(stack_k=k)`` and
+        ``steps_per_dispatch=k`` this is the measured-fastest delivery
+        path on tunneled runtimes (``docs/architecture.md`` §5) —
+        depth 4-8 recommended.  Single-controller placement only:
+        ignored (with a warning) when a Trainer ``mesh`` is set —
+        sharded batches take :meth:`_shard_batch`'s placement."""
         if use_default_schedule and self._schedule is None:
             # canonical DynEdge schedule
             steps_per_epoch = max(len(train_loader), 1)
@@ -738,161 +751,189 @@ class Trainer(Logger):
             jax.profiler.start_trace(profile_dir)
             profiling = True
 
-        for epoch in range(start_epoch, max_epochs):
-            # pin epoch-dependent shuffle schedules (CachingLoader/
-            # MaterializedLoader): a resumed run then replays exactly
-            # the batch order the uninterrupted run would have used
-            if hasattr(train_loader, "set_epoch"):
-                train_loader.set_epoch(epoch)
-            t0 = time.time()
-            losses = []
-            n_events = 0
-            iterator = train_loader
-            if self.progress_bar:
-                from tqdm.auto import tqdm
+        pipeline = None
+        if prefetch and self.mesh is not None:
+            self.warning(
+                "fit(prefetch=...) is single-controller only; ignored "
+                "because a mesh is set (batches take _shard_batch's "
+                "placement)"
+            )
+        elif prefetch:
+            from graphnet_tpu.data.prefetch import EpochPipeline
 
-                iterator = tqdm(
-                    train_loader,
-                    desc=f"epoch {epoch}",
-                    unit="batch",
-                    leave=False,
+            pipeline = EpochPipeline(
+                train_loader,
+                max_epochs,
+                prefetch=prefetch,
+                start_epoch=start_epoch,
+            )
+
+        try:
+            for epoch in range(start_epoch, max_epochs):
+                # pin epoch-dependent shuffle schedules (CachingLoader/
+                # MaterializedLoader): a resumed run then replays exactly
+                # the batch order the uninterrupted run would have used
+                # (the pipeline producer forwards set_epoch itself)
+                if pipeline is None and hasattr(train_loader, "set_epoch"):
+                    train_loader.set_epoch(epoch)
+                t0 = time.time()
+                losses = []
+                n_events = 0
+                iterator = (
+                    pipeline.epoch() if pipeline is not None else train_loader
                 )
-            buf: Dict[Any, List[EventBatch]] = {}
-            for i, batch in enumerate(iterator):
-                n_events += batch.batch_size
-                if isinstance(batch, StackedBatches):
-                    # pre-stacked k-step dispatch (DataLoader(stack_k=k))
-                    if self.mesh is not None:
-                        raise NotImplementedError(
-                            "DataLoader(stack_k>1) with a Trainer mesh: "
-                            "shard the batches instead (stack_k targets "
-                            "single-device transfer-dispatch cost)"
-                        )
-                    if self.state is None:
-                        self.init(
-                            jax.tree_util.tree_map(
-                                lambda a: a[0], batch.batches
-                            )
-                        )
-                        self._log_param_count()
-                    loss = self._scan_train_steps_stacked(batch)
-                    losses.append(jnp.atleast_1d(loss))
-                    continue
-                batch = self._shard_batch(batch)
-                if self.state is None:
-                    self.init(batch)
-                    self._log_param_count()
-                assert self.state is not None
-                if self.steps_per_dispatch > 1:
-                    # buffer per padded shape; dispatch k steps at once
-                    leaves, treedef = jax.tree_util.tree_flatten(batch)
-                    key = (
-                        treedef,
-                        tuple(getattr(x, "shape", ()) for x in leaves),
+                if self.progress_bar:
+                    from tqdm.auto import tqdm
+
+                    iterator = tqdm(
+                        iterator,
+                        total=len(train_loader),
+                        desc=f"epoch {epoch}",
+                        unit="batch",
+                        leave=False,
                     )
-                    group = buf.setdefault(key, [])
-                    group.append(batch)
-                    if len(group) < self.steps_per_dispatch:
+                buf: Dict[Any, List[EventBatch]] = {}
+                for i, batch in enumerate(iterator):
+                    n_events += batch.batch_size
+                    if isinstance(batch, StackedBatches):
+                        # pre-stacked k-step dispatch (DataLoader(stack_k=k))
+                        if self.mesh is not None:
+                            raise NotImplementedError(
+                                "DataLoader(stack_k>1) with a Trainer mesh: "
+                                "shard the batches instead (stack_k targets "
+                                "single-device transfer-dispatch cost)"
+                            )
+                        if self.state is None:
+                            self.init(
+                                jax.tree_util.tree_map(
+                                    lambda a: a[0], batch.batches
+                                )
+                            )
+                            self._log_param_count()
+                        loss = self._scan_train_steps_stacked(batch)
+                        losses.append(jnp.atleast_1d(loss))
                         continue
-                    del buf[key]
-                    loss = self._scan_train_steps(group)  # [k] on device
-                else:
-                    loss = self._single_train_step(batch)
-                # device scalar/vector — no host sync in the hot loop; the
-                # only sync is the (rare) log-interval print below
-                losses.append(jnp.atleast_1d(loss))
-                if (i + 1) % log_every_n_steps == 0:
-                    last = loss if getattr(loss, "ndim", 0) == 0 else loss[-1]
-                    lr = self._current_lr()
-                    lr_txt = f" lr={lr:.3e}" if np.isfinite(lr) else ""
-                    if self.progress_bar:
-                        iterator.set_postfix(
-                            train_loss=f"{float(last):.4f}", refresh=False
-                        )
-                    else:
-                        self.info(
-                            f"epoch {epoch} step {i+1}: "
-                            f"train_loss={float(last):.4f}{lr_txt}"
-                        )
-                    metrics = {"train_loss": float(last)}
-                    if np.isfinite(lr):
-                        metrics["lr"] = lr
-                    self._log_metrics(metrics, step=self.state.step)
-            # flush per-shape leftovers (fewer than k batches buffered)
-            for group in buf.values():
-                for b in group:
-                    losses.append(
-                        jnp.atleast_1d(self._single_train_step(b))
-                    )
-            # single host sync per epoch
-            train_loss = float(jnp.mean(jnp.concatenate(losses)))
-            epoch_time = time.time() - t0
-            events_per_s = n_events / max(epoch_time, 1e-9)
-            history["train_loss"].append(train_loss)
-            if profiling:
-                jax.profiler.stop_trace()
-                profiling = False
-                self.info(f"profiler trace written to {profile_dir}")
-            if last_ckpt is not None:
-                self.save_train_state(last_ckpt, epoch)
-
-            lr = self._current_lr()
-            lr_txt = f", lr={lr:.3e}" if np.isfinite(lr) else ""
-            msg = (
-                f"epoch {epoch}: train_loss={train_loss:.4f} "
-                f"({epoch_time:.1f}s, {events_per_s:.0f} events/s"
-                f"{lr_txt})"
-            )
-            epoch_metrics = {
-                "train_loss": train_loss,
-                "events_per_s": events_per_s,
-            }
-            if np.isfinite(lr):
-                epoch_metrics["lr"] = lr
-            pad_eff = getattr(
-                train_loader, "padding_efficiency", None
-            )
-            if pad_eff is not None and np.isfinite(pad_eff):
-                msg += f" pad_eff={pad_eff:.2f}"
-                epoch_metrics["padding_efficiency"] = pad_eff
-            if val_loader is not None:
-                # accumulate on device; single host sync at the end
-                # (per-batch float() would serialise dispatch)
-                val_losses = []
-                counts = []
-                for batch in val_loader:
-                    counts.append(batch.batch_size)  # real (pre-pad) count
                     batch = self._shard_batch(batch)
-                    val_losses.append(
-                        self._eval_step_fn(self.state.params, batch)
-                    )
-                w = jnp.asarray(counts, jnp.float32)
-                val_loss = float(
-                    jnp.sum(jnp.stack(val_losses) * w) / jnp.sum(w)
-                )
-                epoch_metrics["val_loss"] = val_loss
-                history["val_loss"].append(val_loss)
-                msg += f" val_loss={val_loss:.4f}"
-                improved = stopper.update(val_loss, epoch)
-                if improved:
-                    best_params = self.state.params
-                    if ckpt_best and self.checkpoint_dir:
-                        self.save_checkpoint(
-                            os.path.join(
-                                self.checkpoint_dir, "best"
-                            )
+                    if self.state is None:
+                        self.init(batch)
+                        self._log_param_count()
+                    assert self.state is not None
+                    if self.steps_per_dispatch > 1:
+                        # buffer per padded shape; dispatch k steps at once
+                        leaves, treedef = jax.tree_util.tree_flatten(batch)
+                        key = (
+                            treedef,
+                            tuple(getattr(x, "shape", ()) for x in leaves),
                         )
-                if stopper.should_stop:
-                    self.info(
-                        f"early stopping at epoch {epoch} "
-                        f"(best epoch {stopper.best_epoch})"
-                    )
-                    self.info(msg)
-                    self._log_metrics(epoch_metrics, step=self.state.step)
-                    break
-            self.info(msg)
-            self._log_metrics(epoch_metrics, step=self.state.step)
+                        group = buf.setdefault(key, [])
+                        group.append(batch)
+                        if len(group) < self.steps_per_dispatch:
+                            continue
+                        del buf[key]
+                        loss = self._scan_train_steps(group)  # [k] on device
+                    else:
+                        loss = self._single_train_step(batch)
+                    # device scalar/vector — no host sync in the hot loop; the
+                    # only sync is the (rare) log-interval print below
+                    losses.append(jnp.atleast_1d(loss))
+                    if (i + 1) % log_every_n_steps == 0:
+                        last = loss if getattr(loss, "ndim", 0) == 0 else loss[-1]
+                        lr = self._current_lr()
+                        lr_txt = f" lr={lr:.3e}" if np.isfinite(lr) else ""
+                        if self.progress_bar:
+                            iterator.set_postfix(
+                                train_loss=f"{float(last):.4f}", refresh=False
+                            )
+                        else:
+                            self.info(
+                                f"epoch {epoch} step {i+1}: "
+                                f"train_loss={float(last):.4f}{lr_txt}"
+                            )
+                        metrics = {"train_loss": float(last)}
+                        if np.isfinite(lr):
+                            metrics["lr"] = lr
+                        self._log_metrics(metrics, step=self.state.step)
+                # flush per-shape leftovers (fewer than k batches buffered)
+                for group in buf.values():
+                    for b in group:
+                        losses.append(
+                            jnp.atleast_1d(self._single_train_step(b))
+                        )
+                # single host sync per epoch
+                train_loss = float(jnp.mean(jnp.concatenate(losses)))
+                epoch_time = time.time() - t0
+                events_per_s = n_events / max(epoch_time, 1e-9)
+                history["train_loss"].append(train_loss)
+                if profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.info(f"profiler trace written to {profile_dir}")
+                if last_ckpt is not None:
+                    self.save_train_state(last_ckpt, epoch)
 
+                lr = self._current_lr()
+                lr_txt = f", lr={lr:.3e}" if np.isfinite(lr) else ""
+                msg = (
+                    f"epoch {epoch}: train_loss={train_loss:.4f} "
+                    f"({epoch_time:.1f}s, {events_per_s:.0f} events/s"
+                    f"{lr_txt})"
+                )
+                epoch_metrics = {
+                    "train_loss": train_loss,
+                    "events_per_s": events_per_s,
+                }
+                if np.isfinite(lr):
+                    epoch_metrics["lr"] = lr
+                pad_eff = getattr(
+                    train_loader, "padding_efficiency", None
+                )
+                if pad_eff is not None and np.isfinite(pad_eff):
+                    msg += f" pad_eff={pad_eff:.2f}"
+                    epoch_metrics["padding_efficiency"] = pad_eff
+                if val_loader is not None:
+                    # accumulate on device; single host sync at the end
+                    # (per-batch float() would serialise dispatch)
+                    val_losses = []
+                    counts = []
+                    for batch in val_loader:
+                        counts.append(batch.batch_size)  # real (pre-pad) count
+                        batch = self._shard_batch(batch)
+                        val_losses.append(
+                            self._eval_step_fn(self.state.params, batch)
+                        )
+                    w = jnp.asarray(counts, jnp.float32)
+                    val_loss = float(
+                        jnp.sum(jnp.stack(val_losses) * w) / jnp.sum(w)
+                    )
+                    epoch_metrics["val_loss"] = val_loss
+                    history["val_loss"].append(val_loss)
+                    msg += f" val_loss={val_loss:.4f}"
+                    improved = stopper.update(val_loss, epoch)
+                    if improved:
+                        best_params = self.state.params
+                        if ckpt_best and self.checkpoint_dir:
+                            self.save_checkpoint(
+                                os.path.join(
+                                    self.checkpoint_dir, "best"
+                                )
+                            )
+                    if stopper.should_stop:
+                        self.info(
+                            f"early stopping at epoch {epoch} "
+                            f"(best epoch {stopper.best_epoch})"
+                        )
+                        self.info(msg)
+                        self._log_metrics(epoch_metrics, step=self.state.step)
+                        break
+                self.info(msg)
+                self._log_metrics(epoch_metrics, step=self.state.step)
+
+        finally:
+            # stop the warm producer on EVERY exit path (early
+            # stop, exception): it otherwise blocks forever on a
+            # full queue, pinning the loader
+            if pipeline is not None:
+                pipeline.close()
         if profiling:
             jax.profiler.stop_trace()
 

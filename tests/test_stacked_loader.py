@@ -180,3 +180,114 @@ def test_stack_k_through_sqlite_fast_path():
         assert ta == tb
         for xa, xb in zip(la, lb):
             np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_trainer_prefetch_pipeline_matches_plain():
+    """fit(prefetch=4) streams all epochs through ONE warm EpochPipeline
+    (background device_put producer, in-band epoch markers) and must
+    reproduce the plain path's losses and params exactly — including
+    composed with stack_k loaders."""
+    from graphnet_tpu.models.gnn.dynedge import DynEdge
+    from graphnet_tpu.models.standard_model import StandardModel
+    from graphnet_tpu.models.task.reconstruction import (
+        EnergyReconstruction,
+    )
+    from graphnet_tpu.training.loss_functions import LogCoshLoss
+    from graphnet_tpu.training.trainer import Trainer
+
+    def model():
+        return StandardModel(
+            backbone=DynEdge(nb_inputs=4),
+            tasks=(
+                EnergyReconstruction(
+                    loss_function=LogCoshLoss(),
+                    target_labels=("total_energy",),
+                ),
+            ),
+        )
+
+    ds = _ArrayDataset(n=32)
+
+    t_plain = Trainer(model(), seed=11)
+    h_plain = t_plain.fit(
+        _loader(ds), max_epochs=3, use_default_schedule=False
+    )
+    t_pf = Trainer(model(), seed=11)
+    h_pf = t_pf.fit(
+        _loader(ds), max_epochs=3, use_default_schedule=False, prefetch=4
+    )
+    np.testing.assert_allclose(
+        h_pf["train_loss"], h_plain["train_loss"], rtol=0, atol=0
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_plain.state.params),
+        jax.tree_util.tree_leaves(t_pf.state.params),
+    ):
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+    # composes with stack_k (the measured-fastest tunneled delivery)
+    t_pfs = Trainer(model(), seed=11)
+    h_pfs = t_pfs.fit(
+        _loader(ds, stack_k=2),
+        max_epochs=3,
+        use_default_schedule=False,
+        prefetch=4,
+    )
+    np.testing.assert_allclose(
+        h_pfs["train_loss"], h_plain["train_loss"], rtol=0, atol=0
+    )
+
+
+def test_epoch_pipeline_markers_and_close():
+    """EpochPipeline serves exactly per-epoch slices, forwards
+    set_epoch to the source, propagates errors, and close() stops a
+    producer blocked on a full queue."""
+    import time as _time
+
+    from graphnet_tpu.data.prefetch import EpochPipeline
+
+    class _Src:
+        def __init__(self):
+            self.epochs = []
+
+        def set_epoch(self, e):
+            self.epochs.append(e)
+
+        def __iter__(self):
+            e = self.epochs[-1]
+            for i in range(3):
+                yield np.full((2,), 10 * e + i, np.float32)
+
+    src = _Src()
+    with EpochPipeline(src, n_epochs=2, prefetch=2) as pipe:
+        ep0 = [int(b[0]) for b in pipe.epoch()]
+        ep1 = [int(b[0]) for b in pipe.epoch()]
+    assert ep0 == [0, 1, 2]
+    assert ep1 == [10, 11, 12]
+    assert src.epochs == [0, 1]
+
+    # error propagation
+    class _Boom:
+        def __iter__(self):
+            yield np.zeros(1, np.float32)
+            raise RuntimeError("boom")
+
+    pipe = EpochPipeline(_Boom(), n_epochs=1, prefetch=2)
+    it = pipe.epoch()
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+    # close() unblocks a producer stuck on a full queue
+    class _Endless:
+        def __iter__(self):
+            while True:
+                yield np.zeros(1, np.float32)
+
+    pipe = EpochPipeline(_Endless(), n_epochs=1, prefetch=1)
+    next(pipe.epoch())  # start the producer; queue fills
+    pipe.close()
+    deadline = _time.time() + 5.0
+    while pipe._thread.is_alive() and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert not pipe._thread.is_alive()

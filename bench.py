@@ -599,7 +599,7 @@ def _host_guard(pre: dict, post: dict, spin_floor_ms) -> dict:
 _E2E_PACK_SCHEMA = "v2"
 
 
-def _e2e_loader(n_events_db: int, stack_k: int = 0):
+def _e2e_loader(n_events_db: int, stack_k: int = 0, buckets=(128,)):
     """The ONE e2e-bench pipeline (synthetic DB → SQLiteDataset →
     DataLoader) — shared by the live phases and the pack subprocess so
     they can never drift apart."""
@@ -624,7 +624,7 @@ def _e2e_loader(n_events_db: int, stack_k: int = 0):
         batch_size=128,
         shuffle=True,
         seed=0,
-        buckets=(128,),
+        buckets=buckets,
         # 3 pipeline workers + the prefetch thread + the main thread
         # saturate the 4-core host (nw=3 beat nw=4: 3.1 vs 3.5 ms/batch)
         num_workers=3,
@@ -709,7 +709,16 @@ def bench_e2e_phase(
 
     loader = _e2e_loader(
         n_events_db,
-        stack_k=steps_per_dispatch if phase == "kns" else 0,
+        stack_k=(
+            steps_per_dispatch if phase in ("kns", "kns_auto") else 0
+        ),
+        # kns_auto: DP-optimal 2-bucket set for THIS length
+        # distribution (data/bucketing.py) instead of the canonical
+        # single L=128 pad — length-matched batching then pads short
+        # events to the short bucket, cutting dead FLOPs; the win is
+        # recorded as auto_bucket_events_per_s, outside the headline
+        # (which stays apples-to-apples with the fixed-shape chip rate)
+        buckets="auto:2" if phase == "kns_auto" else (128,),
     )
     # kn scans k host-built batches per dispatch; cached replays the
     # same way (its batches are already on device, so the k-group
@@ -900,6 +909,11 @@ def bench_e2e_phase(
         "final_loss": final_loss,
         "host": _host_guard(pre, post, spin_floor_ms),
     }
+    pad_eff = getattr(loader, "padding_efficiency", None)
+    if pad_eff is not None and np.isfinite(pad_eff):
+        res["padding_efficiency"] = round(float(pad_eff), 3)
+    if phase == "kns_auto":
+        res["buckets"] = list(loader.buckets)
     res["host_load_suspect"] = res["host"]["host_load_suspect"]
     return res
 
@@ -923,7 +937,7 @@ def bench_e2e_loader(
     (``runs_events_per_s``) so the spread is visible, not hidden."""
     phases = {}
     suspect_any = False
-    for phase in ("k1", "kn", "kns", "cached", "mat"):
+    for phase in ("k1", "kn", "kns", "kns_auto", "cached", "mat"):
         kwargs = dict(
             phase=phase,
             n_epochs=n_epochs,
@@ -946,7 +960,9 @@ def bench_e2e_loader(
             # bimodal-tunnel variance: always take 3 draws; the replay
             # phases are stable (cached/mat spreads <3% observed) so 2
             # suffice, with a 3rd only on disagreement
-            n_base = 3 if phase in ("k1", "kn", "kns") else 2
+            n_base = (
+                3 if phase in ("k1", "kn", "kns", "kns_auto") else 2
+            )
             runs = [run_once() for _ in range(n_base)]
             rates = [
                 r.get("events_per_s")
@@ -1002,6 +1018,10 @@ def bench_e2e_loader(
         "single_dispatch_events_per_s": eps_k1,
         "multi_dispatch_events_per_s": eps_kn,
         "stacked_dispatch_events_per_s": eps_kns,
+        "auto_bucket_events_per_s": eps("kns_auto"),
+        "auto_bucket_padding_note": "auto:2 DP-optimal buckets for the "
+        "synthetic length distribution; informational (outside the "
+        "headline, which stays at the canonical fixed L=128 shape)",
         "cached_replay_events_per_s": eps_cached,
         "materialized_replay_events_per_s": (
             eps_mat

@@ -56,7 +56,7 @@ def test_bench_e2e_loader_assembly(monkeypatch):
         # first "cached" attempt reports a loaded host; the second kns
         # draw lands in the tunnel's slow mode
         suspect = phase == "cached" and calls.count("cached") == 1
-        eps = {"k1": 100.0, "kn": 80.0, "kns": 90.0,
+        eps = {"k1": 100.0, "kn": 80.0, "kns": 90.0, "kns_auto": 95.0,
                "cached": 200.0, "mat": 150.0}[phase]
         if phase == "kns" and calls.count("kns") == 2:
             eps = 50.0
@@ -76,10 +76,14 @@ def test_bench_e2e_loader_assembly(monkeypatch):
     assert out["best_mode"] == "k1"
     assert out["stacked_dispatch_events_per_s"] == 90.0  # best of 3
     assert out["cached_replay_events_per_s"] == 200.0
+    # informational, outside best_mode candidates
+    assert out["auto_bucket_events_per_s"] == 95.0
+    assert out["best_mode"] == "k1"
     assert out["materialized_replay_events_per_s"] == 150.0
     # rebuild phases: 3 draws each; cached: 2 draws + 1 suspect retry
     assert calls.count("k1") == 3
     assert calls.count("kns") == 3
+    assert calls.count("kns_auto") == 3
     assert calls.count("cached") == 3
     assert calls.count("mat") == 2
     # the slow kns draw is recorded, not hidden

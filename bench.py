@@ -20,7 +20,12 @@ Beyond the headline number the detail block carries (VERDICT r1 item 2):
 The reference publishes no numbers and torch_geometric is not installed
 here, so ``vs_baseline`` is measured against an equivalent dense DynEdge
 implemented in torch (CPU, this machine), cached in ``.bench_baseline.json``.
-Prints ONE JSON line.
+
+Prints ONE compact JSON line (summary first, the required
+metric/value/unit/vs_baseline keys LAST — the driver records only the
+last ~2000 chars of stdout and the full detail block overflowed that
+window in rounds 2-3, truncating the headline away); the full detail
+block is written to ``BENCH_DETAIL.json`` next to this file.
 """
 
 from __future__ import annotations
@@ -1703,14 +1708,12 @@ def main() -> None:
     _update_spin_floor(cached, e2e, inference, serving)
     with open(cache, "w") as f:
         json.dump(cached, f)
-    print(
-        json.dumps(
-            {
-                "metric": "dynedge_train_events_per_s_per_chip",
-                "value": round(res["events_per_s"], 1),
-                "unit": "events/s",
-                "vs_baseline": round(res["events_per_s"] / baseline, 2),
-                "detail": {
+    full = {
+        "metric": "dynedge_train_events_per_s_per_chip",
+        "value": round(res["events_per_s"], 1),
+        "unit": "events/s",
+        "vs_baseline": round(res["events_per_s"] / baseline, 2),
+        "detail": {
                     "edges_per_s": round(res["edges_per_s"], 0),
                     "step_ms": round(res["step_ms"], 2),
                     "per_dispatch_step_ms": round(
@@ -1743,13 +1746,99 @@ def main() -> None:
                     "e2e_loader": e2e,
                     "inference": inference,
                     "serving_queue": serving,
-                    "a100_pyg_estimate": _section(
-                        a100_pyg_estimate, res, ref_cpu
-                    ),
-                },
-            }
-        )
+                "a100_pyg_estimate": _section(
+                    a100_pyg_estimate, res, ref_cpu
+                ),
+        },
+    }
+
+    # The driver records only the LAST ~2000 chars of stdout: the full
+    # detail block overflowed that window in rounds 2-3 and truncated
+    # away the headline keys (BENCH_r0{2,3}.json: parsed=null, tail
+    # starts mid-detail).  So: full detail goes to BENCH_DETAIL.json
+    # next to this file, stdout carries ONE compact JSON line with the
+    # required metric/value/unit/vs_baseline keys LAST — even if the
+    # front of the line is ever cut, the headline survives in the tail.
+    detail_path = os.path.join(
+        os.path.dirname(__file__), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        detail_path = None
+
+    def _g(d, *keys):
+        for k in keys:
+            if not isinstance(d, dict):
+                return None
+            d = d.get(k)
+        return d
+
+    det = full["detail"]
+    flags = sorted(
+        {
+            name
+            for name, sec in (
+                ("tito", tito),
+                ("deepice", deepice),
+                ("e2e", e2e),
+                ("inference", inference),
+                ("serving", serving),
+            )
+            if isinstance(sec, dict)
+            and (sec.get("error") or sec.get("host_load_suspect"))
+        }
+    )
+    compact = {
+        "summary": {
+            "step_ms": det["step_ms"],
+            "per_dispatch_step_ms": det["per_dispatch_step_ms"],
+            "mfu": _g(det, "roofline", "mfu"),
+            "headline_runs_events_per_s": det[
+                "headline_runs_events_per_s"
+            ],
+            "tito_l1024_events_per_s": _g(tito, "events_per_s"),
+            "deepice_l768_events_per_s": _g(deepice, "events_per_s"),
+            "e2e_events_per_s": _g(e2e, "events_per_s"),
+            "e2e_best_mode": _g(e2e, "best_mode"),
+            "e2e_auto_bucket_events_per_s": _g(
+                e2e, "auto_bucket_events_per_s"
+            ),
+            "e2e_cached_replay_events_per_s": _g(
+                e2e, "cached_replay_events_per_s"
+            ),
+            "e2e_materialized_replay_events_per_s": _g(
+                e2e, "materialized_replay_events_per_s"
+            ),
+            "inference_events_per_s": _g(inference, "events_per_s"),
+            "inference_p50_ms": _g(
+                inference, "single_event_latency_ms_p50"
+            ),
+            "inference_p99_ms": _g(
+                inference, "single_event_latency_ms_p99"
+            ),
+            "serving_w8_frames_per_s": _g(serving, "w8", "frames_per_s"),
+            "serving_w8_p50_ms": _g(
+                serving, "w8", "per_frame_latency_ms_p50"
+            ),
+            "a100_pyg_speedup_point": _g(
+                det, "a100_pyg_estimate", "speedup_point"
+            ),
+            "a100_pyg_speedup_conservative": _g(
+                det, "a100_pyg_estimate", "speedup_conservative"
+            ),
+            "backend": det["backend"],
+            "sections_with_error_or_suspect": flags,
+            "full_detail": detail_path,
+        },
+        # required keys LAST (tail-survival, see comment above)
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "vs_baseline": full["vs_baseline"],
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

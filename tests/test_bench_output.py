@@ -149,6 +149,68 @@ def test_full_detail_written_next_to_bench(stubbed_main):
         assert key in det, key
 
 
+def test_budget_skip_still_prints_headline(stubbed_main, monkeypatch):
+    """The exact failure mode that erased round 4 (driver timeout →
+    rc=124, no stdout, parsed=null) must be unrepresentable: with a
+    zero wall-clock budget every post-headline section is skipped, yet
+    a valid compact line with the required keys still comes out, the
+    skips are explicit, and the detail file exists."""
+    run, tmp_path = stubbed_main
+    monkeypatch.setenv("BENCH_BUDGET_S", "0")
+    line = run()
+    d = json.loads(line)
+    assert list(d)[-4:] == ["metric", "value", "unit", "vs_baseline"]
+    assert d["value"] == 26764.0
+    assert d["vs_baseline"] == pytest.approx(26764.0 / 42.2, rel=1e-3)
+    s = d["summary"]
+    assert s["sections_skipped_budget"] == [
+        "deepice",
+        "e2e",
+        "inference",
+        "serving",
+        "tito",
+    ]
+    assert s["sections_with_error_or_suspect"] == []
+    # a zero budget still takes at least one headline draw
+    assert s["headline_runs_events_per_s"] == [26764.0]
+    assert s["headline_median_events_per_s"] == 26764.0
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["detail"]["tito_l1024"]["skipped"] == "budget"
+
+
+def test_provisional_line_printed_before_sections(stubbed_main, monkeypatch):
+    """A provisional compact line must exist the moment the headline is
+    known (ADVICE r4): if a later section hangs past the driver's
+    timeout, the tail still holds a parseable capture.  Simulate the
+    hang by making a section raise after asserting a line was already
+    printed."""
+    run, _ = stubbed_main
+    printed_before_tito = []
+
+    real_sub = bench._bench_in_subprocess
+
+    def tracking_sub(name, kwargs=None, timeout_s=3600):
+        if name == "tito":
+            import io as _io  # the fixture redirects stdout to a buffer
+
+            import sys as _sys
+
+            buf = _sys.stdout
+            printed_before_tito.append(
+                buf.getvalue() if isinstance(buf, _io.StringIO) else ""
+            )
+        return real_sub(name, kwargs, timeout_s=timeout_s)
+
+    monkeypatch.setattr(bench, "_bench_in_subprocess", tracking_sub)
+    run()
+    assert printed_before_tito, "tito section never ran"
+    early_lines = printed_before_tito[0].strip().splitlines()
+    assert early_lines, "no provisional line before the tito section"
+    early = json.loads(early_lines[-1])
+    assert early["value"] == 26764.0
+    assert list(early)[-4:] == ["metric", "value", "unit", "vs_baseline"]
+
+
 def test_error_sections_flagged(stubbed_main, monkeypatch):
     run, _ = stubbed_main
     canned = dict(_CANNED)
@@ -163,3 +225,19 @@ def test_error_sections_flagged(stubbed_main, monkeypatch):
     assert d["summary"]["deepice_l768_events_per_s"] is None
     # headline keys unaffected by a failed side-section
     assert d["value"] == 26764.0
+
+
+def test_timing_suspect_sections_flagged(stubbed_main, monkeypatch):
+    """ADVICE r4: a fabricated-timing draw (timing_suspect — achieved
+    TFLOPs above chip peak) must flag on the recorded stdout line, not
+    only inside the unrecorded detail file."""
+    run, _ = stubbed_main
+    canned = {k: dict(v) for k, v in _CANNED.items()}
+    canned["tito"] = {"events_per_s": 9e9, "timing_suspect": True}
+    monkeypatch.setattr(
+        bench,
+        "_bench_in_subprocess",
+        lambda name, kwargs=None, timeout_s=3600: dict(canned[name]),
+    )
+    d = json.loads(run())
+    assert d["summary"]["sections_with_error_or_suspect"] == ["tito"]

@@ -76,8 +76,10 @@ def test_bench_e2e_loader_assembly(monkeypatch):
     assert out["best_mode"] == "k1"
     assert out["stacked_dispatch_events_per_s"] == 90.0  # best of 2+1
     assert out["cached_replay_events_per_s"] == 200.0
-    # informational, outside best_mode candidates
+    # the auto-bucketed default path competes for best_mode (r5);
+    # the fixed-shape number survives for apples-to-apples
     assert out["auto_bucket_events_per_s"] == 95.0
+    assert out["fixed_shape_events_per_s"] == 100.0
     assert out["best_mode"] == "k1"
     assert out["materialized_replay_events_per_s"] == 150.0
     # 2 draws when they agree; kns escalates to 3 on the >15% spread;

@@ -98,12 +98,42 @@ class TestDataLoader:
         assert total <= 50  # some events may be dropped (<2 pulses)
         assert total >= 40
         for b in batches:
-            assert b.x.shape[1] in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+            # default buckets are auto-derived for this dataset (r5)
+            assert b.x.shape[1] in dl.buckets
             assert b.x.shape[0] <= 16
             # mask consistent with n_pulses
             np.testing.assert_array_equal(
                 np.asarray(b.mask).sum(axis=1), np.asarray(b.n_pulses)
             )
+
+    def test_default_buckets_auto(self):
+        """The DataLoader DEFAULT is auto:2 DP-optimal buckets (r5):
+        at most two compiled shapes (each new shape costs minutes of
+        tunnel compile), 16-aligned, covering the longest event, and
+        padding-optimal among ALL <=2-bucket choices — in particular
+        never worse than any 2-element slice of the power-of-two
+        ladder or a single max-length pad."""
+        from graphnet_tpu.batch import DEFAULT_BUCKETS
+        from graphnet_tpu.data.bucketing import padding_efficiency
+
+        ds = make_dataset()
+        dl = DataLoader(ds, batch_size=16)
+        lengths = np.asarray(ds.event_lengths())
+        assert 1 <= len(dl.buckets) <= 2
+        assert all(b % 16 == 0 for b in dl.buckets)
+        assert max(dl.buckets) >= lengths.max()
+        eff_auto = padding_efficiency(lengths, dl.buckets)
+        covering = [b for b in DEFAULT_BUCKETS if b >= lengths.max()]
+        rivals = [(covering[0],)] + [
+            (lo, covering[0])
+            for lo in DEFAULT_BUCKETS
+            if lo < covering[0]
+        ]
+        for rival in rivals:
+            assert eff_auto >= padding_efficiency(lengths, rival), rival
+        # explicit opt-out restores the fixed ladder
+        dl_fixed = DataLoader(ds, batch_size=16, buckets=DEFAULT_BUCKETS)
+        assert dl_fixed.buckets == tuple(DEFAULT_BUCKETS)
 
     def test_min_pulse_drop(self):
         ds = make_dataset()

@@ -357,14 +357,29 @@ def bench_tito_l1024(compute_dtype="bfloat16") -> dict:
 
 
 def bench_deepice(
-    B_d: int = 16, L_d: int = 768, model_kwargs: dict = None
+    B_d: int = 16,
+    L_d: int = 768,
+    model_kwargs: dict = None,
+    budget_s: float = None,
 ) -> dict:
     """Third shape: DeepIce/IceMix (Kaggle-2nd-place transformer) at the
     IceMixNodes pulse budget (max_pulses=768, reference
     ``graphs/nodes/nodes.py:309``) — rel-bias blocks + 12 plain blocks,
     bf16 compute, flash attention engaged for the bias-free blocks at
     this L.  B=16 (vs the r2 bench's 4): the chip was starved at B=4
-    (12k tokens fill the MXU pipeline; events/s scales ~3x)."""
+    (12k tokens fill the MXU pipeline; events/s scales ~3x).
+
+    ``budget_s`` bounds the section's wall-clock: each breakdown
+    variant costs a fresh tunnel compile (~3-6 min), so variants that
+    no longer fit are skipped with an explicit marker instead of
+    running the whole subprocess into the driver's timeout."""
+    t_fn_start = time.perf_counter()
+
+    def _left():
+        if budget_s is None:
+            return float("inf")
+        return budget_s - (time.perf_counter() - t_fn_start)
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -519,27 +534,60 @@ def bench_deepice(
             float(l0)
             return (time.perf_counter() - t0) / (2 * n_inner) * 1e3
 
+        # each variant costs a fresh tunnel compile (~3-6 min): gate
+        # every one on the remaining section budget so the subprocess
+        # returns what it has instead of dying in the driver's timeout
+        VARIANT_EST_S = 420.0
+        skipped_variants = []
+
+        def _variant(label, **kw):
+            if _left() < VARIANT_EST_S:
+                skipped_variants.append(label)
+                return None
+            return _time_variant(**kw)
+
         try:
-            ms_sandwich = _time_variant(depth=0)
-            ms_encoder = _time_variant(depth=0, depth_rel=0)
-            d = DeepIce(n_features=6)
-            res["breakdown_ms"] = {
-                "encoder_and_task": round(ms_encoder, 2),
-                "rel_sandwich_blocks_total": round(
-                    ms_sandwich - ms_encoder, 2
+            ms_sandwich = _variant("sandwich", depth=0)
+            ms_encoder = _variant("encoder", depth=0, depth_rel=0)
+            # r5 bias-cache ablation (VERDICT r4 item 6): the default
+            # run above CACHES the SpacetimeEncoder pair tensor in bf16
+            # HBM once per forward (rel_bias_cache="auto", 302 MB at
+            # B=16 L=768) and streams slices into the biased block;
+            # this variant rebuilds the ~L^2*d sin/cos embedding per
+            # query tile (the r4 behaviour) for a measured comparison
+            ms_rebuild = _variant("bias_rebuild", rel_bias_cache="never")
+            res["bias_cache_ablation_ms"] = {
+                "cached_full_step": res["step_ms"],
+                "rebuild_full_step": (
+                    round(ms_rebuild, 2)
+                    if ms_rebuild is not None
+                    else "skipped: budget"
                 ),
-                "per_rel_block": round(
-                    (ms_sandwich - ms_encoder) / d.depth_rel, 2
-                ),
-                "plain_blocks_total": round(
-                    res["step_ms"] - ms_sandwich, 2
-                ),
-                "per_plain_block": round(
-                    (res["step_ms"] - ms_sandwich) / d.depth, 2
-                ),
-                "note": "differenced reduced-model timings (depth=0 / "
-                "depth=depth_rel=0), same shapes and protocol",
             }
+            d = DeepIce(n_features=6)
+            if ms_sandwich is not None and ms_encoder is not None:
+                res["breakdown_ms"] = {
+                    "encoder_and_task": round(ms_encoder, 2),
+                    "rel_sandwich_blocks_total": round(
+                        ms_sandwich - ms_encoder, 2
+                    ),
+                    "per_rel_block": round(
+                        (ms_sandwich - ms_encoder) / d.depth_rel, 2
+                    ),
+                    "plain_blocks_total": round(
+                        res["step_ms"] - ms_sandwich, 2
+                    ),
+                    "per_plain_block": round(
+                        (res["step_ms"] - ms_sandwich) / d.depth, 2
+                    ),
+                    "note": "differenced reduced-model timings "
+                    "(depth=0 / depth=depth_rel=0), same shapes and "
+                    "protocol",
+                }
+            else:
+                res["breakdown_ms"] = {"skipped": "budget"}
+            if skipped_variants:
+                res["skipped_variants_budget"] = skipped_variants
         except Exception as e:  # breakdown must not kill the headline
             res["breakdown_ms"] = {
                 "error": f"{type(e).__name__}: {e}"
@@ -1171,6 +1219,28 @@ def bench_inference(compute_dtype="bfloat16", spin_floor_ms=None) -> dict:
         _ = float(np.asarray(forward(params, one)[0])[0, 0])
         lats.append((time.perf_counter() - t1) * 1e3)
     lats.sort()
+
+    # Tail decomposition (VERDICT r4 item 4): the same
+    # dispatch→readback round-trip with a TRIVIAL jitted op (scalar
+    # add) carries zero model compute — its percentiles isolate the
+    # tunnel RTT + dispatch machinery.  If (p99−p50) of the null path
+    # matches (p99−p50) of the model path, the tail is pure tunnel
+    # jitter, not compute variance; the model's device time is the p50
+    # difference.  Runs AFTER the model loop (both loops live in the
+    # same degraded-readback regime — which is the serving reality).
+    @jax.jit
+    def null_op(x):
+        return x + 1.0
+
+    zero = jax.device_put(jnp.float32(0.0))
+    _ = float(null_op(zero))  # compile + warm
+    null_lats = []
+    for _ in range(200):
+        t1 = time.perf_counter()
+        _ = float(null_op(zero))
+        null_lats.append((time.perf_counter() - t1) * 1e3)
+    null_lats.sort()
+
     post = _host_probe()
     res = {
         "events_per_s": round(B / dt, 1),
@@ -1178,12 +1248,24 @@ def bench_inference(compute_dtype="bfloat16", spin_floor_ms=None) -> dict:
         "single_event_latency_ms_p50": round(lats[100], 2),
         "single_event_latency_ms_p90": round(lats[180], 2),
         "single_event_latency_ms_p99": round(lats[198], 2),
+        "null_dispatch_ms_p50": round(null_lats[100], 2),
+        "null_dispatch_ms_p90": round(null_lats[180], 2),
+        "null_dispatch_ms_p99": round(null_lats[198], 2),
+        "device_compute_ms_est": round(lats[100] - null_lats[100], 2),
+        "tail_is_dispatch_jitter": bool(
+            # the model path's tail spread is explained (>=70%) by the
+            # null path's spread -> the jitter lives in the tunnel
+            # dispatch, not in the model
+            (null_lats[198] - null_lats[100])
+            >= 0.7 * (lats[198] - lats[100])
+        ),
         "batch": B,
         "max_len": L,
         "host": _host_guard(pre, post, spin_floor_ms),
         "note": "forward-only incl. dispatch + result readback "
         "(serving path); latency = request submit -> prediction on "
-        "host",
+        "host; null_dispatch = same round-trip with a scalar add "
+        "(tunnel RTT + dispatch, zero model compute)",
     }
     res["host_load_suspect"] = res["host"]["host_load_suspect"]
     return res
@@ -1911,9 +1993,21 @@ def main() -> None:
             "inference_p99_ms": _g(
                 inference, "single_event_latency_ms_p99"
             ),
+            "inference_null_dispatch_p50_ms": _g(
+                inference, "null_dispatch_ms_p50"
+            ),
+            "inference_null_dispatch_p99_ms": _g(
+                inference, "null_dispatch_ms_p99"
+            ),
+            "inference_tail_is_dispatch_jitter": _g(
+                inference, "tail_is_dispatch_jitter"
+            ),
             "serving_w8_frames_per_s": _g(serving, "w8", "frames_per_s"),
             "serving_w8_p50_ms": _g(
                 serving, "w8", "per_frame_latency_ms_p50"
+            ),
+            "serving_w8_p99_ms": _g(
+                serving, "w8", "per_frame_latency_ms_p99"
             ),
             "a100_pyg_speedup_point": _g(
                 det, "a100_pyg_estimate", "speedup_point"
@@ -2001,7 +2095,13 @@ def main() -> None:
         240,
         os.environ.get("BENCH_DEEPICE", "1") != "0",
         lambda: _section(
-            _bench_in_subprocess, "deepice", timeout_s=_sub_timeout()
+            _bench_in_subprocess,
+            "deepice",
+            # internal budget: breakdown/ablation variants each cost a
+            # tunnel compile and are skipped explicitly when they no
+            # longer fit (serving still needs ~240 s after this)
+            {"budget_s": max(300.0, _remaining() - 240.0)},
+            timeout_s=_sub_timeout(),
         ),
     )
     _run_budgeted(

@@ -677,6 +677,18 @@ class AttentionRel(nn.Module):
                 q, k, v, rel_source, key_padding_mask, B, L, D, H, hd
             )
 
+        if rel_pos_bias is not None and self.rel_chunks > 1:
+            # cached-bias chunked path (r5): the pair tensor was
+            # materialised ONCE by the caller (bf16 HBM) and is
+            # STREAMED per query tile — the O(L²) logits/attn planes
+            # never exist whole, and the backward re-reads the cache
+            # instead of recomputing ~L²·d sin/cos transcendentals
+            # (the chunked-rebuild path pays those in fwd AND bwd)
+            return self._chunked_rel(
+                q, k, v, None, key_padding_mask, B, L, D, H, hd,
+                rel_cached=rel_pos_bias,
+            )
+
         # DeepIce applies the spacetime bias only to the first n_rel
         # block (`gnn/icemix.py`); the remaining rel-blocks are plain
         # masked attention — flash-eligible at long L
@@ -757,19 +769,36 @@ class AttentionRel(nn.Module):
         return nn.Dense(D, dtype=self.dtype, name="proj")(out)
 
     def _chunked_rel(
-        self, q, k, v, rel_source, key_padding_mask, B, L, D, H, hd
+        self,
+        q,
+        k,
+        v,
+        rel_source,
+        key_padding_mask,
+        B,
+        L,
+        D,
+        H,
+        hd,
+        rel_cached=None,
     ) -> jax.Array:
-        """Biased attention with the rel features rebuilt per query tile
-        (shared SpacetimeEncoder module — params stay under its original
-        scope).  Exact same math as the materialised path."""
-        encoder, x0 = rel_source
+        """Biased attention per query tile.  The rel features for a tile
+        come either from ``rel_cached`` (a pair tensor materialised once
+        by the caller — sliced, never recomputed) or are rebuilt from
+        ``rel_source`` (shared SpacetimeEncoder module — params stay
+        under its original scope).  Exact same math as the materialised
+        dense path either way."""
         n = max(1, min(self.rel_chunks, L))
         tq = -(-L // n)  # ceil
         neg = jnp.finfo(jnp.float32).min
         outs = []
         for s in range(0, L, tq):
             e = min(s + tq, L)
-            rel = encoder(x0, x0[:, s:e])  # [B, tq, L, hd]
+            if rel_cached is not None:
+                rel = rel_cached[:, s:e]  # [B, tq, L, hd] view
+            else:
+                encoder, x0 = rel_source
+                rel = encoder(x0, x0[:, s:e])  # [B, tq, L, hd]
             qc = q[:, :, s:e]  # [B, H, tq, hd] (scaled)
             logits = jnp.einsum(
                 "bhqd,bhkd->bhqk", qc, k,

@@ -38,10 +38,22 @@ class DeepIce(GNN):
     include_dynedge: bool = False
     dynedge_args: Optional[Dict[str, Any]] = None
     n_features: int = 6
-    # >1: rebuild the spacetime rel-bias per query tile inside attention
-    # instead of materialising [B, L, L, head_size] — peak memory of the
-    # bias path drops by this factor (use for L >= ~1024)
+    # >1: process the spacetime rel-bias per query tile inside attention
+    # instead of materialising the full [B, H, L, L] logits at once —
+    # peak memory of the bias path drops by this factor (use for
+    # L >= ~1024)
     rel_bias_chunks: int = 1
+    # cache the SpacetimeEncoder pair tensor in HBM (bf16 under
+    # compute_dtype) ONCE per forward and stream slices into the
+    # chunked biased blocks, instead of recomputing the ~L²·d sin/cos
+    # embedding per tile in fwd AND bwd (the reference computes it
+    # once too, ``icemix.py:137``).  "auto": engage when the cached
+    # tensor is <= ~700 MB (B=16 L=768 bf16 = 302 MB fits; B=8 L=1536
+    # = 1.2 GB does not — the bwd d(pair) temp doubles it); "always";
+    # "never" (always rebuild per tile).  Irrelevant when
+    # rel_bias_chunks == 1 (dense path already materialises once) or
+    # when the Pallas rel-flash kernel engages (nothing materialises).
+    rel_bias_cache: str = "auto"
     # Pallas streaming rel-bias kernel (ops/rel_flash_attention.py):
     # "auto" = TPU backend AND L >= 1536 (below that the XLA chunked-
     # dense path is faster — measured, see AttentionRel); "always";
@@ -103,10 +115,30 @@ class DeepIce(GNN):
                 )
             )
         ) and rel_flash_supported(L, self.head_size)
-        if self.rel_bias_chunks > 1 or flash_ok:
+        cache_bytes = (
+            x0.shape[0]
+            * L
+            * L
+            * self.head_size
+            * (2 if cdtype == jnp.bfloat16 else 4)
+        )
+        use_cache = (
+            not flash_ok
+            and self.rel_bias_chunks > 1
+            and (
+                self.rel_bias_cache == "always"
+                or (
+                    self.rel_bias_cache == "auto"
+                    and cache_bytes <= 700e6
+                )
+            )
+        )
+        if flash_ok or (self.rel_bias_chunks > 1 and not use_cache):
             rel_pos_bias = None
             rel_source = (rel_encoder, x0)
         else:
+            # materialised ONCE (bf16 under compute_dtype) and shared
+            # by every biased block — chunked attention slices it
             rel_pos_bias = rel_encoder(x0)
             rel_source = None
 

@@ -3,11 +3,18 @@
 github.com/ChenLi2049/ISeeCube).
 
 The reference delegates to torchscale's ``Encoder`` (optional dependency):
-a pre-LN transformer with T5-style bucketed relative-position bias.  Here
-that encoder is implemented natively: shared relative-position bucket table,
-learned absolute position embedding, cls + register tokens, final LayerNorm,
-cls-token readout.  Unlike the reference (which passes no padding mask into
-torchscale), padded keys are masked.
+a Magneto-style pre-LN transformer (``subln=True``: an extra LayerNorm on
+the attention output before the out-projection and one between the FFN
+activation and fc2) with a T5-style bucketed relative-position bias shared
+across all layers, and a final encoder LayerNorm — followed by ISeeCube's
+OWN LayerNorm (two consecutive norms, as in the reference composition).
+Here that encoder is implemented natively with the same structure;
+executed-reference parity runs the reference's ``iseecube.py`` from disk
+against the ``tests/refshim/_torchscale.py`` transcription
+(``tests/test_reference_parity_exec.py::test_iseecube_activation_parity``).
+Unlike the reference (which passes no padding mask into torchscale),
+padded keys are masked — parity tests use full-length events where the
+mask is a no-op.
 """
 
 from __future__ import annotations
@@ -140,9 +147,11 @@ class ISeeCube(GNN):
             name="rel_pos_bias",
         )(T)
 
+        from graphnet_tpu.ops.gelu import gelu_exact
+
         for i in range(self.num_layers):
-            # pre-norm block, shared additive rel-pos bias in every layer
-            # (torchscale Encoder behaviour)
+            # pre-norm Magneto block, shared additive rel-pos bias in
+            # every layer (torchscale Encoder behaviour, subln=True)
             h = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x)
             h = _BiasedMHA(
                 self.num_heads, name=f"attn_{i}"
@@ -150,18 +159,27 @@ class ISeeCube(GNN):
             x = x + h
             h = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x)
             h = nn.Dense(self.mlp_dim, name=f"fc1_{i}")(h)
-            from graphnet_tpu.ops.gelu import gelu_exact
-
-            h = nn.Dense(self.hidden_dim, name=f"fc2_{i}")(
-                gelu_exact(h)  # torchscale uses F.gelu (exact erf)
-            )
+            h = gelu_exact(h)  # torchscale uses F.gelu (exact erf)
+            # Magneto ffn_layernorm between activation and fc2
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ffn_ln_{i}")(h)
+            h = nn.Dense(self.hidden_dim, name=f"fc2_{i}")(h)
             x = x + h
 
+        # torchscale's encoder-final LayerNorm, then ISeeCube's own —
+        # the reference applies BOTH (iseecube.py:84,100-102)
+        x = nn.LayerNorm(epsilon=1e-5, name="encoder_layer_norm")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
         return x[:, 0]
 
 
 class _BiasedMHA(nn.Module):
+    """torchscale ``MultiheadAttention`` (self-attention, subln=True):
+    separate biased q/k/v projections, fp32 softmax, Magneto
+    ``inner_attn_ln`` on the attention output before the
+    out-projection.  Sharded by name under tensor parallelism
+    (proj_q/proj_k/proj_v column, out row —
+    ``parallel/tensor_parallel.py``)."""
+
     num_heads: int
 
     @nn.compact
@@ -169,8 +187,9 @@ class _BiasedMHA(nn.Module):
         B, T, D = x.shape
         H = self.num_heads
         hd = D // H
-        qkv = nn.Dense(3 * D, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = nn.Dense(D, name="proj_q")(x)
+        k = nn.Dense(D, name="proj_k")(x)
+        v = nn.Dense(D, name="proj_v")(x)
 
         def heads(t):
             return t.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
@@ -187,4 +206,5 @@ class _BiasedMHA(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+        out = nn.LayerNorm(epsilon=1e-5, name="inner_attn_ln")(out)
         return nn.Dense(D, name="out")(out)

@@ -1103,6 +1103,105 @@ def port_deepice_state_dict(
     return params
 
 
+def port_iseecube_state_dict(
+    state_dict: Dict[str, Any],
+    template: Dict[str, Any],
+) -> Dict[str, Any]:
+    """Map a reference ISeeCube state_dict onto our flax tree.
+
+    Reference layout (``transformer/iseecube.py:20-102`` + torchscale's
+    Magneto encoder, transcribed in ``tests/refshim/_torchscale.py``):
+    ``fourier_ext`` (same structure as DeepIce's), ``pos_embedding`` /
+    ``class_token`` / ``register_tokens`` Parameters,
+    ``encoder.layers.{i}`` with separate ``{q,k,v}_proj`` Linears,
+    Magneto ``inner_attn_ln`` / ``ffn.ffn_layernorm`` sub-norms, the
+    shared T5 bucket table
+    ``encoder.relative_position.relative_attention_bias``, torchscale's
+    final ``encoder.layer_norm``, and ISeeCube's own ``layer_norm``.
+    """
+    sd = _normalise_keys(state_dict)
+    params = _copy_tree(template)
+    root = params["params"] if "params" in params else params
+    used: set = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    bb = root["backbone"]
+
+    # --- FourierEncoder (identical layout to DeepIce's) ------------------
+    fe = bb["fourier_ext"]
+    fp = "backbone.fourier_ext"
+    if f"{fp}.sin_emb.scale" in sd:  # scaled_emb=True checkpoints
+        _fill(fe["sin_emb"], "scale", take(f"{fp}.sin_emb.scale"))
+        _fill(fe["sin_emb2"], "scale", take(f"{fp}.sin_emb2.scale"))
+    if f"{fp}.aux_emb.weight" in sd:  # n_features >= 6
+        _fill(fe["aux_emb"], "embedding", take(f"{fp}.aux_emb.weight"))
+    _fill(fe["mlp_0"], "kernel", take(f"{fp}.mlp.0.weight").T)
+    _fill(fe["mlp_0"], "bias", take(f"{fp}.mlp.0.bias"))
+    _fill(fe["mlp_norm"], "scale", take(f"{fp}.mlp.1.weight"))
+    _fill(fe["mlp_norm"], "bias", take(f"{fp}.mlp.1.bias"))
+    _fill(fe["mlp_1"], "kernel", take(f"{fp}.mlp.3.weight").T)
+    _fill(fe["mlp_1"], "bias", take(f"{fp}.mlp.3.bias"))
+
+    # --- special tokens ---------------------------------------------------
+    _fill(bb, "pos_embedding", take("backbone.pos_embedding"))
+    _fill(bb, "class_token", take("backbone.class_token"))
+    _fill(bb, "register_tokens", take("backbone.register_tokens"))
+
+    # --- shared relative-position bucket table ----------------------------
+    _fill(
+        bb["rel_pos_bias"],
+        "rel_embedding",
+        take(
+            "backbone.encoder.relative_position."
+            "relative_attention_bias.weight"
+        ),
+    )
+
+    def norm(dst, p):
+        _fill(dst, "scale", take(f"{p}.weight"))
+        _fill(dst, "bias", take(f"{p}.bias"))
+
+    def linear(dst, p):
+        _fill(dst, "kernel", take(f"{p}.weight").T)
+        _fill(dst, "bias", take(f"{p}.bias"))
+
+    layer_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"backbone\.encoder\.layers\.(\d+)\.", k))
+        }
+    )
+    assert layer_ids, (
+        "no `backbone.encoder.layers.*` keys — not an ISeeCube dict?"
+    )
+    for i in layer_ids:
+        p = f"backbone.encoder.layers.{i}"
+        attn = bb[f"attn_{i}"]
+        linear(attn["proj_q"], f"{p}.self_attn.q_proj")
+        linear(attn["proj_k"], f"{p}.self_attn.k_proj")
+        linear(attn["proj_v"], f"{p}.self_attn.v_proj")
+        norm(attn["inner_attn_ln"], f"{p}.self_attn.inner_attn_ln")
+        linear(attn["out"], f"{p}.self_attn.out_proj")
+        norm(bb[f"norm1_{i}"], f"{p}.self_attn_layer_norm")
+        norm(bb[f"norm2_{i}"], f"{p}.final_layer_norm")
+        linear(bb[f"fc1_{i}"], f"{p}.ffn.fc1")
+        norm(bb[f"ffn_ln_{i}"], f"{p}.ffn.ffn_layernorm")
+        linear(bb[f"fc2_{i}"], f"{p}.ffn.fc2")
+
+    # --- the two consecutive final LayerNorms ------------------------------
+    norm(bb["encoder_layer_norm"], "backbone.encoder.layer_norm")
+    norm(bb["layer_norm"], "backbone.layer_norm")
+
+    # --- task heads ------------------------------------------------------
+    _port_tasks(sd, take, root)
+    _check_unused(sd, used)
+    return params
+
+
 def _port_torch_gru(sd, take, prefix, rnn_node, num_layers) -> None:
     """Map a torch ``nn.GRU`` (``weight_ih_l{l}`` [3H, in] with gate rows
     [r; z; n], reference ``rnn/node_rnn.py:66-73``) onto our stacked

@@ -39,11 +39,12 @@ def install_shims() -> None:
     ):
         return
 
-    from tests.refshim import _misc, _lightning, _pyg
+    from tests.refshim import _misc, _lightning, _pyg, _torchscale
 
     _misc.install()
     _lightning.install()
     _pyg.install()
+    _torchscale.install()
 
 
 def load_reference():

@@ -337,7 +337,12 @@ class TestChunkedRelBias:
             n_features=4,
         )
         m1 = DeepIce(**kwargs)
-        m4 = DeepIce(**kwargs, rel_bias_chunks=4)
+        # both chunked flavours: bias cached once + sliced (the r5
+        # default when it fits HBM) and rebuilt per tile
+        m4 = DeepIce(**kwargs, rel_bias_chunks=4)  # auto -> cached
+        m4r = DeepIce(
+            **kwargs, rel_bias_chunks=4, rel_bias_cache="never"
+        )
         params = m1.init(jax.random.PRNGKey(0), batch)
         # identical parameter structure: chunked mode adds no params
         p4 = m4.init(jax.random.PRNGKey(0), batch)
@@ -348,6 +353,10 @@ class TestChunkedRelBias:
         out4 = m4.apply(params, batch)
         np.testing.assert_allclose(
             np.asarray(out4), np.asarray(out1), rtol=2e-5, atol=2e-5
+        )
+        out4r = m4r.apply(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(out4r), np.asarray(out1), rtol=2e-5, atol=2e-5
         )
 
     def test_flash_equals_materialised(self):

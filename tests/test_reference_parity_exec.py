@@ -20,15 +20,23 @@ actual reference source from ``/root/reference/src/graphnet`` through the
     difference in any custom-VJP kernel on this path (fused EdgeConv,
     masked attention) would show up as trajectory divergence.
 
-ISeeCube is NOT covered here, deliberately: its reference implementation
-delegates the whole encoder to ``torchscale`` (`transformer/iseecube.py:
-13-14,74-82`), which is not installed and has no source in this
-environment.  A hand-written torchscale shim would be built from the same
-reading of the T5/torchscale papers as our flax implementation — both
-sides would inherit any misreading, which is exactly the failure mode
-executed-reference parity exists to eliminate.  ISeeCube parity therefore
-stays at the reference-layout template level
-(``tests/test_weight_port.py``) until torchscale itself is available.
+ISeeCube (r5): covered via ``tests/refshim/_torchscale.py`` — a
+transcription of the PUBLIC torchscale encoder source (torchscale itself
+is not installable here), registered like the PyG shim so the reference's
+own ``transformer/iseecube.py`` runs from disk.  Two caveats, both
+documented in the tests: (a) the shim is a second reading of published
+code, not the installed package — weaker than the PyG case but it still
+executes the reference's composition end to end; (b) the reference's
+``ISeeCube`` is BROKEN as committed, twice: ``iseecube.py:90`` calls
+``self.fourier_ext(x)`` without the ``seq_length`` argument that
+``embedding.py:113-116`` requires, so the executed reference raises
+TypeError before reaching the encoder (pinned by
+``test_iseecube_reference_forward_is_broken``); and ``iseecube.py:65-73``
+leaves ``class_token``/``register_tokens`` as UNINITIALISED
+``torch.empty`` Parameters (flakily NaN — the sibling ``pos_embedding``
+calls ``.normal_()``, these forgot).  The parity test patches exactly
+those two bugs — one missing argument, one missing init — and leaves
+every other line of reference code in place.
 """
 
 import numpy as np
@@ -811,3 +819,138 @@ def test_dynedge_explicit_grad_parity(ref):
     ours_task = np.asarray(gp["tasks_0"]["affine"]["kernel"]).T
     err = _rel_err(ref_g["task"], ours_task)
     assert err < 2e-4, f"task affine grad: rel err {err:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# ISeeCube (r5: via the torchscale transcription shim)
+# ---------------------------------------------------------------------------
+
+
+def _iseecube_events(seed, n_events=3, length=48):
+    """Equal-length events with a valid binary aux column (feature 5 is
+    an nn.Embedding(2, ...) lookup in the reference FourierEncoder).
+    Equal lengths are REQUIRED by the reference itself: iseecube.py:93
+    adds the [1, seq_length, D] pos_embedding to the padded batch, which
+    only broadcasts when every event pads to exactly seq_length."""
+    rng = np.random.default_rng(seed)
+    return [
+        np.concatenate(
+            [
+                rng.normal(size=(length, 5)).astype(np.float32),
+                (rng.random((length, 1)) > 0.5).astype(np.float32),
+            ],
+            axis=1,
+        )
+        for _ in range(n_events)
+    ]
+
+
+def test_iseecube_reference_forward_is_broken(ref):
+    """Executed-reference finding: the reference ISeeCube cannot run AS
+    COMMITTED — `transformer/iseecube.py:90` calls `self.fourier_ext(x)`
+    but `FourierEncoder.forward` (`components/embedding.py:113-116`)
+    requires `seq_length`.  This is independent of torchscale: the
+    TypeError fires before the encoder is reached.  Pinned so the parity
+    test's one-argument patch below is auditable as the MINIMAL
+    intervention."""
+    from graphnet.models.transformer.iseecube import ISeeCube as RefISC
+
+    torch.manual_seed(0)
+    ref_model = RefISC(
+        hidden_dim=32, seq_length=48, num_layers=1, num_heads=4,
+        mlp_dim=64, rel_pos_buckets=16, max_rel_pos=32, n_features=6,
+    ).eval()
+    data = _make_data(ref, _iseecube_events(7))
+    with pytest.raises(TypeError, match="seq_length"):
+        with torch.no_grad():
+            ref_model(data)
+
+
+def test_iseecube_activation_parity(ref, monkeypatch):
+    """Output parity of the EXECUTED reference ISeeCube
+    (`transformer/iseecube.py:20-102`, encoder provided by the
+    documented torchscale transcription in tests/refshim/_torchscale.py)
+    against ours with ported weights.
+
+    Two deviations from reference code, each patching a reference BUG
+    (both documented in the module docstring):
+
+    1. FourierEncoder.forward is wrapped to receive the `seq_length`
+       argument the reference forgets to pass (see
+       test_iseecube_reference_forward_is_broken) — computed as the
+       true per-event pulse counts, exactly what every other reference
+       backbone passes at the same call site (`gnn/icemix.py:135`).
+    2. `class_token` and `register_tokens` are explicitly initialised:
+       the reference constructs them as bare `torch.empty(...)`
+       Parameters (`iseecube.py:65-73`) and never fills them —
+       UNINITIALISED memory, observed to contain NaN in roughly half
+       of fresh processes on this machine (DeepIce's cls token and the
+       sibling `pos_embedding` one line above both call `.normal_()`;
+       this one simply forgot)."""
+    from graphnet.models.transformer.iseecube import ISeeCube as RefISC
+
+    from graphnet_tpu.models.transformer.iseecube import (
+        ISeeCube as OurISC,
+    )
+    from graphnet_tpu.utils.weight_port import port_iseecube_state_dict
+
+    S = 48
+    events = _iseecube_events(11, n_events=3, length=S)
+
+    torch.manual_seed(0)
+    kwargs = dict(
+        hidden_dim=64,
+        seq_length=S,
+        num_layers=3,
+        num_heads=4,
+        mlp_dim=128,
+        rel_pos_buckets=16,
+        max_rel_pos=32,
+        num_register_tokens=3,
+        n_features=6,
+    )
+    ref_model = RefISC(**kwargs).eval()
+    # reference bug #2: class_token / register_tokens are torch.empty
+    # Parameters that the reference never initialises (garbage memory,
+    # flakily NaN) — give them the init their sibling pos_embedding
+    # gets one line earlier (normal_(std=0.02))
+    with torch.no_grad():
+        ref_model.class_token.normal_(std=0.02)
+        ref_model.register_tokens.normal_(std=0.02)
+
+    # supply ONLY the missing argument; all reference code still runs
+    from graphnet.models.components.embedding import FourierEncoder
+
+    orig_forward = FourierEncoder.forward
+
+    def patched(self, x, seq_length=None):
+        if seq_length is None:
+            seq_length = torch.full(
+                (x.shape[0],), x.shape[1], dtype=torch.long
+            )
+        return orig_forward(self, x, seq_length)
+
+    monkeypatch.setattr(FourierEncoder, "forward", patched)
+
+    data = _make_data(ref, events)
+    with torch.no_grad():
+        ref_out = ref_model(data).numpy()
+
+    our_model = OurISC(
+        hidden_dim=64,
+        seq_length=S,
+        num_layers=3,
+        num_heads=4,
+        mlp_dim=128,
+        rel_pos_buckets=16,
+        max_rel_pos=32,
+        num_register_tokens=3,
+        n_features=6,
+    )
+    b = make_batch(events, length=S)
+    params = _port_backbone(
+        port_iseecube_state_dict, ref_model, our_model, b
+    )
+    out = our_model.apply(params, b)
+    err = _rel_err(ref_out, np.asarray(out))
+    assert err < 5e-4, f"iseecube output: rel err {err:.2e}"

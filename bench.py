@@ -1115,7 +1115,11 @@ def bench_e2e_loader(
         "materialized_replay_events_per_s": (
             eps_mat
             if eps_mat is not None
-            else phases["mat"].get("error", "failed")
+            else (
+                "skipped: budget"
+                if phases["mat"].get("skipped")
+                else phases["mat"].get("error", "failed")
+            )
         ),
         "steps_per_dispatch": steps_per_dispatch,
         "epochs_timed": n_epochs - 1,
@@ -1954,8 +1958,15 @@ def main() -> None:
         skipped = sorted(
             name
             for name, sec in sections.items()
-            if isinstance(sec, dict)
-            and sec.get("skipped") in ("budget", "pending")
+            if isinstance(sec, dict) and sec.get("skipped") == "budget"
+        )
+        # sections not yet reached: a provisional line must not call
+        # them "skipped" — if a timeout lands here, the tail should say
+        # the run died mid-flight, not that the budget cut them
+        pending = sorted(
+            name
+            for name, sec in sections.items()
+            if isinstance(sec, dict) and sec.get("skipped") == "pending"
         )
         summary = {
             "step_ms": det["step_ms"],
@@ -2022,6 +2033,7 @@ def main() -> None:
             "ref_cpu_events_per_s": _g(ref_cpu, "ref_cpu_events_per_s"),
             "sections_with_error_or_suspect": flags,
             "sections_skipped_budget": skipped,
+            "sections_pending": pending,
             "budget_s": budget_s,
             "elapsed_s": round(time.monotonic() - t_start, 1),
             "full_detail": detail_path,

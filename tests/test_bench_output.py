@@ -171,6 +171,7 @@ def test_budget_skip_still_prints_headline(stubbed_main, monkeypatch):
         "tito",
     ]
     assert s["sections_with_error_or_suspect"] == []
+    assert s["sections_pending"] == []
     # a zero budget still takes at least one headline draw
     assert s["headline_runs_events_per_s"] == [26764.0]
     assert s["headline_median_events_per_s"] == 26764.0

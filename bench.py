@@ -1010,11 +1010,24 @@ def bench_e2e_loader(
     def _left():
         return float("inf") if deadline is None else deadline - time.monotonic()
 
-    for phase in ("k1", "kn", "kns", "kns_auto", "cached", "mat"):
-        # a single phase draw has measured ~60-120 s (fresh JAX init +
-        # tunnel dispatch, compiles warm); don't start one that can't
-        # plausibly finish twice
-        if _left() < 150:
+    # Priority order under a binding budget (the 2026-08-20 degraded-
+    # tunnel capture spent its whole e2e window on one phase's three
+    # draws): the auto-bucketed DataLoader DEFAULT first, then the
+    # single-dispatch anchor, then the delivery variants, then replay.
+    order = ("kns_auto", "k1", "kns", "kn", "cached", "mat")
+    # measured wall-clock of the last completed draw — the reserve that
+    # keeps later phases alive is priced from it (draws ran ~60-120 s
+    # on a healthy tunnel, ~200 s degraded)
+    draw_cost = [120.0]
+
+    for idx, phase in enumerate(order):
+        phases_after = len(order) - idx - 1
+
+        def _reserve():
+            # leave at least ONE draw's worth for every later phase
+            return phases_after * draw_cost[0]
+
+        if _left() < max(90.0, draw_cost[0]):
             phases[phase] = {
                 "skipped": "budget",
                 "budget_remaining_s": round(max(0.0, _left()), 1),
@@ -1030,6 +1043,7 @@ def bench_e2e_loader(
 
         def run_once():
             timeout_s = max(60.0, min(3600.0, _left()))
+            t0 = time.monotonic()
             r = _bench_in_subprocess("e2e_phase", kwargs, timeout_s=timeout_s)
             if r.get("host_load_suspect") and _left() > 120:
                 time.sleep(10.0)
@@ -1038,10 +1052,18 @@ def bench_e2e_loader(
                 )
                 retry["retried_after_host_load"] = True
                 r = retry
+            draw_cost[0] = max(60.0, time.monotonic() - t0)
             return r
 
+        def _more_draws_ok():
+            # an extra draw of THIS phase must not starve later phases
+            # of their first draw
+            return _left() - draw_cost[0] > _reserve()
+
         try:
-            runs = [run_once() for _ in range(2)]
+            runs = [run_once()]
+            if _more_draws_ok():
+                runs.append(run_once())
             rates = [
                 r.get("events_per_s")
                 for r in runs
@@ -1053,7 +1075,7 @@ def bench_e2e_loader(
             if (
                 len(rates) == 2
                 and min(rates) < 0.85 * max(rates)
-                and _left() > 120
+                and _more_draws_ok()
             ):
                 runs.append(run_once())
                 rates = [
@@ -1082,27 +1104,33 @@ def bench_e2e_loader(
 
     eps_k1, eps_kn, eps_kns = eps("k1"), eps("kn"), eps("kns")
     eps_cached, eps_mat = eps("cached"), eps("mat")
-    if eps_k1 is None:
-        if phases["k1"].get("skipped"):
-            return {"skipped": "budget", "phases": phases}
-        return {"error": "k1 phase failed", "phases": phases}
     # Headline = the fastest dispatch/transfer mode, INCLUDING the
     # auto-bucketed phase (kns_auto) — auto:2 buckets are the DataLoader
     # default since r5, so the out-of-the-box path competes.  The best
     # fixed-L=128 mode is kept as fixed_shape_events_per_s for
     # apples-to-apples comparison with the chip-bound step headline.
     candidates = {
-        "k1": eps_k1,
+        "k1": eps_k1 or 0.0,
         f"kn{steps_per_dispatch}": eps_kn or 0.0,
         f"kns{steps_per_dispatch}": eps_kns or 0.0,
         f"auto{steps_per_dispatch}": eps("kns_auto") or 0.0,
     }
+    if max(candidates.values()) <= 0.0:
+        if any(
+            phases[p].get("skipped")
+            for p in ("k1", "kn", "kns", "kns_auto")
+        ):
+            return {"skipped": "budget", "phases": phases}
+        return {"error": "every live phase failed", "phases": phases}
     best_mode = max(candidates, key=lambda m: candidates[m])
-    fixed_shape = max(v for v in (eps_k1, eps_kn or 0.0, eps_kns or 0.0))
+    fixed_fallback = max(eps_k1 or 0.0, eps_kn or 0.0, eps_kns or 0.0)
+    fixed_shape = fixed_fallback if fixed_fallback > 0.0 else None
     out = {
         "events_per_s": round(max(candidates.values()), 1),
         "best_mode": best_mode,
-        "fixed_shape_events_per_s": round(fixed_shape, 1),
+        "fixed_shape_events_per_s": (
+            round(fixed_shape, 1) if fixed_shape is not None else None
+        ),
         "single_dispatch_events_per_s": eps_k1,
         "multi_dispatch_events_per_s": eps_kn,
         "stacked_dispatch_events_per_s": eps_kns,

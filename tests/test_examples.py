@@ -28,6 +28,12 @@ TRAIN_ARGS = {
     "05_train_rnn_tito.py": ["--max-epochs", "1", "--batch-size", "8"],
     "06_train_normalizing_flow.py": ["--max-epochs", "1"],
     "07_train_multiclass_from_configs.py": ["--max-epochs", "1"],
+    "08_high_throughput_pipeline.py": [
+        "--max-epochs",
+        "1",
+        "--n-events",
+        "256",
+    ],
     "01_deploy_model.py": ["--max-epochs", "1", "--batch-size", "16"],
 }
 

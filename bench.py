@@ -1042,7 +1042,14 @@ def bench_e2e_loader(
         )
 
         def run_once():
-            timeout_s = max(60.0, min(3600.0, _left()))
+            # the subprocess may use the remaining window MINUS the
+            # later phases' one-draw reserve: a pathologically slow
+            # draw (degraded-tunnel compiles ran >761 s on 2026-08-20)
+            # gets killed early enough that every later phase still
+            # gets its chance, instead of zeroing the whole section
+            timeout_s = max(
+                60.0, min(3600.0, _left() - _reserve())
+            )
             t0 = time.monotonic()
             r = _bench_in_subprocess("e2e_phase", kwargs, timeout_s=timeout_s)
             if r.get("host_load_suspect") and _left() > 120:

@@ -1843,7 +1843,13 @@ def main() -> None:
             r = _bench_in_subprocess(
                 "train",
                 {"compute_dtype": "bfloat16"},
-                timeout_s=_sub_timeout(),
+                # each draw is additionally capped at ~35% of the budget:
+                # on a HUNG tunnel (observed 2026-08-21 03:20 — device
+                # discovery fine, every compile/dispatch hanging) one
+                # draw must not eat the whole capture window
+                timeout_s=min(
+                    _sub_timeout(), max(300.0, 0.35 * budget_s)
+                ),
             )
             if isinstance(r.get("events_per_s"), (int, float)):
                 headline_runs.append(r)
@@ -1852,8 +1858,25 @@ def main() -> None:
         draw_s = time.monotonic() - t_draw
     if headline_runs:
         res = max(headline_runs, key=lambda r: r["events_per_s"])
-    else:  # subprocess path unavailable: fall back in-process
+    else:
+        # Every subprocess draw failed or timed out — the hung-tunnel
+        # state.  Do NOT fall back to an in-process TPU run: it would
+        # hang past the driver's timeout with nothing printed (the r4
+        # failure).  Force CPU (both halves of the CLAUDE.md recipe,
+        # before any jax import in this process) and measure the CPU
+        # fallback with an explicit not-a-TPU-number note.
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         res = bench_jax(compute_dtype="bfloat16")
+        backend_note = (
+            (backend_note + "; ") if backend_note else ""
+        ) + (
+            "every TPU headline subprocess failed or timed out (hung "
+            "tunnel); CPU fallback — NOT a TPU number"
+        )
     # the fp32 comparison doubles compile time; opt-in via BENCH_FP32=1
     res_fp32 = (
         bench_jax(compute_dtype=None)

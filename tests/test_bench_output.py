@@ -228,6 +228,39 @@ def test_error_sections_flagged(stubbed_main, monkeypatch):
     assert d["value"] == 26764.0
 
 
+def test_hung_tunnel_headline_falls_back_to_cpu(stubbed_main, monkeypatch):
+    """When every headline subprocess draw dies (the hung-tunnel state:
+    device discovery fine, compiles hang forever), the capture must NOT
+    attempt an in-process TPU run — it forces CPU and prints a line
+    whose backend note says the number is not a TPU number."""
+    run, _ = stubbed_main
+
+    def dying_sub(name, kwargs=None, timeout_s=3600):
+        if name == "train":
+            raise RuntimeError("subprocess bench 'train' timed out")
+        return dict(_CANNED[name])
+
+    monkeypatch.setattr(bench, "_bench_in_subprocess", dying_sub)
+    monkeypatch.setattr(
+        bench,
+        "bench_jax",
+        lambda compute_dtype=None: {
+            "events_per_s": 41.0,
+            "edges_per_s": 2.6e4,
+            "step_ms": 3120.0,
+            "per_dispatch_step_ms": 3120.0,
+            "backend": "cpu",
+            "step_flops": 9.44e10,
+            "step_bytes": 2.22e9,
+        },
+    )
+    d = json.loads(run())
+    assert list(d)[-4:] == ["metric", "value", "unit", "vs_baseline"]
+    assert d["value"] == 41.0
+    assert d["summary"]["headline_runs_events_per_s"] == []
+    assert "NOT a TPU number" in d["summary"]["backend"]
+
+
 def test_timing_suspect_sections_flagged(stubbed_main, monkeypatch):
     """ADVICE r4: a fabricated-timing draw (timing_suspect — achieved
     TFLOPs above chip peak) must flag on the recorded stdout line, not
